@@ -1,0 +1,87 @@
+"""Runtime-tunable parameters and the config override chain.
+
+TPU-native analog of the reference's ``include/dlaf/tune.h:91-136`` +
+``src/init.cpp:111-304`` config system: defaults live in a dataclass, each
+field can be overridden by an environment variable ``DLAF_TPU_<NAME>`` and by
+an explicit keyword to :func:`initialize` / :func:`set_tune_parameters`
+(precedence: defaults < env < explicit, matching the reference's
+defaults < ``DLAF_*`` env < ``--dlaf:*`` CLI chain).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+_ENV_PREFIX = "DLAF_TPU_"
+
+
+@dataclasses.dataclass
+class TuneParameters:
+    # default tile/block size used by the LAPACK-flavored API when the caller
+    # does not specify one (reference miniapps default nb=512; 256 maps two
+    # 128x128 MXU tiles per side and is the fp32 sweet spot on v5e)
+    default_block_size: int = 256
+    # leaf size at which blocked recursions switch to a single-tile kernel
+    leaf_block_size: int = 128
+    # micro panel width inside the Pallas potrf leaf kernel
+    potrf_panel_size: int = 8
+    # eigensolver: band size = largest divisor of nb >= this (reference
+    # include/dlaf/eigensolver/internal/get_band_size.h:20 and
+    # tune.h eigensolver_min_band)
+    eigensolver_min_band: int = 64
+    # group size for applying band->tridiag Householder reflectors to the
+    # eigenvector matrix (reference tune.h:130 bt_band_to_tridiag_hh_apply_group_size)
+    bt_band_to_tridiag_hh_apply_group_size: int = 64
+    # number of secular-equation (laed4) Newton iterations in the tridiagonal
+    # divide & conquer merge (analog of tridiag_rank1_* tuning, tune.h:117-124)
+    laed4_max_iter: int = 60
+    # matmul precision for f32 inputs: "default" (bf16 1-pass), "float32"
+    # (bf16_3x) or "highest" (bf16_6x); LAPACK-grade residuals need >= float32
+    matmul_precision: str = "float32"
+    # debug dumps (reference tune.h:29-57 HDF5 debug switches)
+    debug_dump_cholesky_data: bool = False
+    debug_dump_eigensolver_data: bool = False
+    debug_dump_path: str = "dlaf_tpu_dump"
+
+
+def _coerce(val: str, typ):
+    if typ is bool:
+        return val.strip().lower() in ("1", "true", "yes", "on")
+    return typ(val)
+
+
+def _from_env(base: TuneParameters) -> TuneParameters:
+    kw = {}
+    for f in dataclasses.fields(TuneParameters):
+        env = os.environ.get(_ENV_PREFIX + f.name.upper())
+        if env is not None:
+            kw[f.name] = _coerce(env, f.type if isinstance(f.type, type) else type(getattr(base, f.name)))
+    return dataclasses.replace(base, **kw)
+
+
+_params: Optional[TuneParameters] = None
+
+
+def get_tune_parameters() -> TuneParameters:
+    """Singleton accessor (reference ``getTuneParameters()``)."""
+    global _params
+    if _params is None:
+        _params = _from_env(TuneParameters())
+    return _params
+
+
+def set_tune_parameters(**overrides) -> TuneParameters:
+    """Apply explicit overrides on top of the defaults+env chain."""
+    global _params
+    base = _from_env(TuneParameters())
+    unknown = set(overrides) - {f.name for f in dataclasses.fields(TuneParameters)}
+    if unknown:
+        raise ValueError(f"unknown tune parameters: {sorted(unknown)}")
+    _params = dataclasses.replace(base, **overrides)
+    return _params
+
+
+def reset_tune_parameters() -> None:
+    global _params
+    _params = None
