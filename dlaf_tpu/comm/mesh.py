@@ -1,0 +1,64 @@
+"""2-D device grid.
+
+TPU-native analog of the reference's ``CommunicatorGrid``
+(``communication/communicator_grid.h:37``): a ``jax.sharding.Mesh`` with axes
+``("r", "c")`` — the row axis plays the role of the column communicator (ranks
+sharing a grid column) and vice versa. The reference's per-grid communicator
+*pipelines* (round-robin clones serializing collectives) have no equivalent
+here: XLA orders collectives by dataflow per channel, which is exactly the
+guarantee the pipelines existed to provide.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+ROW_AXIS = "r"  # indexes the grid row coordinate p (tiles i with i % P == p)
+COL_AXIS = "c"  # indexes the grid column coordinate q
+
+
+class Grid:
+    """Device grid of shape (P, Q) built over the available devices."""
+
+    def __init__(self, grid_size: Optional[Tuple[int, int]] = None,
+                 devices: Optional[Sequence] = None):
+        devices = list(devices if devices is not None else jax.devices())
+        if grid_size is None:
+            grid_size = _default_grid(len(devices))
+        P_, Q_ = grid_size
+        if P_ * Q_ > len(devices):
+            raise ValueError(f"grid {grid_size} needs {P_ * Q_} devices, "
+                             f"have {len(devices)}")
+        dev = np.asarray(devices[:P_ * Q_]).reshape(P_, Q_)
+        self.mesh = Mesh(dev, (ROW_AXIS, COL_AXIS))
+        self.grid_size = (P_, Q_)
+
+    @property
+    def nr_rows(self) -> int:
+        return self.grid_size[0]
+
+    @property
+    def nr_cols(self) -> int:
+        return self.grid_size[1]
+
+    def canonical_sharding(self) -> NamedSharding:
+        """Sharding for canonical (P, Q, lm, ln) shard-layout arrays."""
+        return NamedSharding(self.mesh, P(ROW_AXIS, COL_AXIS, None, None))
+
+    def replicated_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    def __repr__(self):
+        return f"Grid{self.grid_size}"
+
+
+def _default_grid(n: int) -> Tuple[int, int]:
+    """Most-square (P, Q) with P*Q == n (reference grids are user-chosen;
+    miniapps default to squarish)."""
+    p = int(np.sqrt(n))
+    while n % p:
+        p -= 1
+    return (p, n // p)

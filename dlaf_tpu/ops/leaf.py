@@ -40,16 +40,24 @@ def _use_pallas(dtype) -> bool:
 def potrf_leaf(a):
     """Lower Cholesky factor of a single SPD tile; strictly-upper part zeroed."""
     if _use_pallas(a.dtype):
-        from .pallas.potrf import potrf_tile
-        return potrf_tile(a)
+        try:
+            from .pallas.potrf import potrf_tile
+        except ImportError:
+            pass
+        else:
+            return potrf_tile(a)
     return jax.lax.linalg.cholesky(a, symmetrize_input=False)
 
 
 def trsm_leaf(a, b, *, left: bool, lower: bool, trans: str, unit: bool):
     """Solve op(a) x = b (left) or x op(a) = b (right) on a single tile."""
     if _use_pallas(a.dtype):
-        from .pallas.trsm import trsm_tile
-        return trsm_tile(a, b, left=left, lower=lower, trans=trans, unit=unit)
+        try:
+            from .pallas.trsm import trsm_tile
+        except ImportError:
+            pass
+        else:
+            return trsm_tile(a, b, left=left, lower=lower, trans=trans, unit=unit)
     return jax.lax.linalg.triangular_solve(
         a, b,
         left_side=left, lower=lower,

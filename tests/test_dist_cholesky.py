@@ -1,0 +1,49 @@
+"""Distributed Cholesky on multi-device CPU meshes.
+
+Analog of the reference's grid-sweeping distributed tests
+(test/unit/factorization/test_cholesky.cpp with CommunicatorGrid6RanksEnvironment):
+several mesh shapes including degenerate 1xN / Nx1, sizes including
+non-tile-multiples.
+"""
+import jax
+import numpy as np
+import pytest
+
+from dlaf_tpu.algos.cholesky import cholesky
+from dlaf_tpu.comm.mesh import Grid
+from dlaf_tpu.matrix import generators as gen
+from dlaf_tpu.matrix.dist_matrix import DistMatrix
+
+from conftest import tol
+
+GRIDS = [(1, 1), (2, 2), (2, 4), (4, 1), (1, 8), (2, 3)]
+
+
+@pytest.mark.parametrize("grid_size", GRIDS)
+@pytest.mark.parametrize("n,nb", [(64, 16), (100, 16), (16, 16), (7, 16)])
+def test_dist_cholesky(grid_size, n, nb, real_dtype_p):
+    dtype = real_dtype_p
+    key = jax.random.PRNGKey(n + grid_size[0])
+    a = gen.random_hermitian_positive_definite(key, n, dtype)
+    grid = Grid(grid_size)
+    dm = DistMatrix.from_global(a, nb, grid, pad_identity=True)
+    out = cholesky(dm)
+    lfull = np.asarray(out.to_global())
+    l = np.tril(lfull)
+    an = np.asarray(a)
+    res = np.max(np.abs(l @ l.conj().T - an)) / max(n, 1)
+    assert res <= tol(dtype, n, 50), (res, grid_size, n)
+    # strict upper triangle must keep the original content
+    np.testing.assert_array_equal(np.triu(lfull, 1), np.triu(an, 1))
+
+
+@pytest.mark.parametrize("grid_size", [(2, 2), (2, 3)])
+def test_dist_matches_local(grid_size):
+    import dlaf_tpu as dt
+    n, nb = 96, 16
+    a = gen.random_hermitian_positive_definite(jax.random.PRNGKey(0), n, np.dtype("float64"))
+    grid = Grid(grid_size)
+    dm = DistMatrix.from_global(a, nb, grid, pad_identity=True)
+    ldist = np.tril(np.asarray(cholesky(dm).to_global()))
+    lloc = np.asarray(dt.potrf(a, nb=16))
+    assert np.max(np.abs(ldist - lloc)) <= tol(np.dtype("float64"), n, 100)
