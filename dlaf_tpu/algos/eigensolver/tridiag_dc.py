@@ -1,0 +1,351 @@
+"""Stage 3: symmetric tridiagonal eigensolver — Cuppen divide & conquer.
+
+TPU-native re-design of the reference's tridiagonal D&C
+(``eigensolver/tridiag_solver/impl.h`` + ``merge.h``): the same mathematical
+pipeline — Cuppen decomposition, leaf solves, rank-one merge with deflation,
+vectorized secular-equation solves, Gu/Eisenstat z-recomputation, eigenvector
+GEMM — organized as a *level-synchronous batched* computation: all leaves are
+solved with one vmapped kernel, then each merge level processes all pairs with
+one vmapped merge, so every level is a handful of large batched MXU-friendly
+ops instead of a dynamic task graph.
+
+Mappings to the reference:
+  - cuppensDecomposition (impl.h:100-120)    -> rank-one tears at all block
+    boundaries applied up front (diagonal-only modification, equivalent)
+  - stedc leaf solve (impl.h:115-140)        -> batched cyclic Jacobi
+  - deflation + Givens (merge.h:306-658)     -> vectorized z-threshold
+    deflation + sequential scan of close-eigenvalue rotations
+  - laed4 rank-1 solve (merge.h:798-974)     -> one vectorized
+    bisection/Newton hybrid over all roots
+  - multiplyEigenvectors (merge.h:974-1077)  -> batched GEMM per level
+
+Everything is static-shape: n is padded to LEAF * 2^L with decoupled,
+well-separated diagonal padding entries that deflate trivially.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ...ops.core import matmul_precision
+
+LEAF = 32
+JACOBI_SWEEPS = 10
+
+
+# ---------------------------------------------------------------------------
+# leaf solver: cyclic Jacobi on small dense symmetric matrices
+
+
+def _jacobi_eigh(a):
+    """Eigendecomposition of a small dense symmetric matrix by cyclic Jacobi
+    (branch-free; vectorizes over the leaf batch)."""
+    n = a.shape[0]
+    v0 = jnp.eye(n, dtype=a.dtype)
+
+    def rotate(carry, pq):
+        a, v = carry
+        p, q = pq[0], pq[1]
+        apq = a[p, q]
+        theta = (a[q, q] - a[p, p]) / (2 * jnp.where(apq == 0, 1.0, apq))
+        t = jnp.sign(theta) / (jnp.abs(theta) + jnp.sqrt(theta * theta + 1))
+        t = jnp.where(theta == 0, 1.0, t)      # theta == 0 -> 45 degrees
+        t = jnp.where(apq == 0, 0.0, t)
+        c = 1.0 / jnp.sqrt(t * t + 1)
+        s = t * c
+        rp, rq = a[p], a[q]
+        a = a.at[p].set(c * rp - s * rq).at[q].set(s * rp + c * rq)
+        cp, cq = a[:, p], a[:, q]
+        a = a.at[:, p].set(c * cp - s * cq).at[:, q].set(s * cp + c * cq)
+        vp, vq = v[:, p], v[:, q]
+        v = v.at[:, p].set(c * vp - s * vq).at[:, q].set(s * vp + c * vq)
+        return (a, v), None
+
+    pqs = jnp.array([(p, q) for p in range(n - 1) for q in range(p + 1, n)],
+                    dtype=jnp.int32)
+
+    def sweep(_, carry):
+        carry, _ = lax.scan(rotate, carry, pqs)
+        return carry
+
+    a, v = lax.fori_loop(0, JACOBI_SWEEPS, sweep, (a, v0))
+    w = jnp.diagonal(a)
+    order = jnp.argsort(w)
+    return w[order], v[:, order]
+
+
+# ---------------------------------------------------------------------------
+# merge: deflation + secular solve + eigenvector update
+
+
+def _merge(d, z, rho, tol_scale, laed4_iter):
+    """Eigen-analysis of diag(d) + rho z z^T (rho >= 0) with deflation.
+
+    Returns (lam, zhat, dsort, perm, mu, deflated, rots, dd); eigenvalues are
+    lam = dsort + mu in d-sorted order (NOT resorted yet).
+    """
+    n = d.shape[0]
+    dt = d.dtype
+    eps = jnp.finfo(dt).eps
+
+    perm = jnp.argsort(d)
+    ds = d[perm]
+    zs = z[perm]
+
+    normz2 = jnp.sum(zs * zs)
+    dspread = jnp.maximum(ds[-1] - ds[0], eps)
+    tol = 8.0 * eps * jnp.maximum(tol_scale, dspread)
+
+    # 1) z-threshold deflation (reference merge.h deflation tolerance)
+    zsmall = jnp.abs(rho * zs) <= tol
+
+    # 2) close-eigenvalue rotation deflation: sequential scan carrying the
+    #    previous surviving index; each rotation zeroes z_i against z_prev
+    def scan_fn(carry, i):
+        zvec, prev = carry
+        zi = zvec[i]
+        zp = zvec[jnp.maximum(prev, 0)]
+        close = (ds[i] - ds[jnp.maximum(prev, 0)]) <= tol
+        can = (~zsmall[i]) & (prev >= 0) & close
+        r = jnp.sqrt(zi * zi + zp * zp)
+        rsafe = jnp.where(r > 0, r, 1.0)
+        c = jnp.where(can, zp / rsafe, 1.0)
+        s = jnp.where(can, zi / rsafe, 0.0)
+        zvec = zvec.at[jnp.maximum(prev, 0)].set(jnp.where(can, r, zp))
+        zvec = zvec.at[i].set(jnp.where(can, 0.0, zi))
+        survives = (~zsmall[i]) & (~can)
+        newprev = jnp.where(survives, i, prev)
+        return (zvec, newprev), (c, s, jnp.where(can, prev, -1), i)
+
+    (zs2, _), rots = lax.scan(scan_fn, (zs, jnp.int32(-1)),
+                              jnp.arange(n, dtype=jnp.int32))
+    deflated = (jnp.abs(rho * zs2) <= tol) | (zs2 == 0)
+    zmask = jnp.where(deflated, 0.0, zs2)
+
+    # 3) secular roots: f(lam) = 1 + rho sum_j zmask_j^2/(ds_j - lam), one
+    #    root per survivor i in (ds_i, ds_next_i). LAPACK-laed4 style: decide
+    #    which interval endpoint the root is closer to, anchor the root there
+    #    and solve for the offset t, so roots within O(eps * gap) of either
+    #    pole are represented exactly: lam_i = ds[anchor_i] + sign_i * t_i.
+    idx32 = jnp.arange(n, dtype=jnp.int32)
+    masked_idx = jnp.where(deflated, jnp.int32(n), idx32)
+    sufmin = lax.associative_scan(jnp.minimum, masked_idx[::-1])[::-1]
+    next_idx = jnp.concatenate([sufmin[1:], jnp.full((1,), jnp.int32(n))])
+    has_next = next_idx < n
+    next_i = jnp.minimum(next_idx, n - 1)
+    top_delta = rho * normz2 * (1 + 4 * eps) + tol
+    delta = jnp.where(has_next, ds[next_i] - ds, top_delta)
+    delta = jnp.maximum(delta, jnp.finfo(dt).tiny)
+
+    dd = ds[None, :] - ds[:, None]          # dd[i, j] = ds_j - ds_i
+    z2r = zmask * zmask
+    tiny = jnp.finfo(dt).tiny * 1e4
+
+    def fval(mu):
+        """f at lam = ds_i + mu (mu-based; only used for the side decision)."""
+        den = dd - mu[:, None]
+        safe = jnp.where(jnp.abs(den) < tiny,
+                         jnp.where(den < 0, -tiny, tiny), den)
+        return 1.0 + rho * jnp.sum(z2r[None, :] / safe, axis=1)
+
+    # side decision at the midpoint (fixed for the rest of the solve)
+    right = (fval(0.5 * delta) < 0) & has_next
+    anchor = jnp.where(right, next_i, idx32)
+    sgn = jnp.where(right, -1.0, 1.0).astype(dt)
+    # dd_a[i, j] = ds_j - ds[anchor_i]
+    dd_a = ds[None, :] - ds[anchor][:, None]
+    w_own = z2r[anchor]                     # weight of the anchor's own pole
+    own = anchor[:, None] == idx32[None, :]
+    tmax = jnp.where(right, 0.5 * delta, jnp.where(has_next, 0.5 * delta, delta))
+
+    def g_parts(t):
+        """g(t) = sign * f(ds_anchor + sign t): increasing in t; plus parts."""
+        den = dd_a - (sgn * t)[:, None]
+        safe = jnp.where(jnp.abs(den) < tiny,
+                         jnp.where(den < 0, -tiny, tiny), den)
+        terms = z2r[None, :] / safe
+        f = 1.0 + rho * jnp.sum(terms, axis=1)
+        df = rho * jnp.sum(z2r[None, :] / (safe * safe), axis=1)
+        s_no_own = 1.0 + rho * jnp.sum(jnp.where(own, 0.0, terms), axis=1)
+        return sgn * f, df, s_no_own
+
+    def iter_fn(_, carry):
+        lo, hi, t = carry
+        g, df, s_no_own = g_parts(t)
+        lo = jnp.where(g < 0, t, lo)        # g increasing: g<0 -> root right
+        hi = jnp.where(g < 0, hi, t)
+        newton = t - g / jnp.maximum(df, jnp.finfo(dt).tiny)
+        # fixed point absorbing the anchor's own pole:
+        # left:  f = s_no_own - rho w/t = 0      -> t =  rho w / s_no_own
+        # right: f = s_no_own + rho w/t = 0      -> t = -rho w / s_no_own
+        fp_den = jnp.where(right, -s_no_own, s_no_own)
+        fp = rho * w_own / jnp.where(fp_den > 0, fp_den, jnp.inf)
+        def pick(cand, cur, lo, hi):
+            ok = (cand > lo) & (cand < hi)
+            return jnp.where(ok, cand, cur)
+        mid = 0.5 * (lo + hi)
+        t = pick(fp, mid, lo, hi)
+        t = pick(newton, t, lo, hi)
+        return lo, hi, t
+
+    lo0 = jnp.zeros((n,), dt)
+    _, _, troot = lax.fori_loop(0, laed4_iter, iter_fn,
+                                (lo0, tmax, 0.5 * tmax))
+    troot = jnp.where(deflated, 0.0, troot)
+    anchor = jnp.where(deflated, idx32, anchor)
+    sgn = jnp.where(deflated, 1.0, sgn)
+    lam = ds[anchor] + sgn * troot
+    # mu := lam - ds_i, exact when left-anchored (= troot)
+    mu = jnp.where(right & (~deflated), delta - troot, troot)
+
+    # 4) Gu/Eisenstat zhat so eigenvectors are numerically orthogonal:
+    #    zhat_i^2 = mu_i * prod_{j != i} (lam_j - ds_i)/(ds_j - ds_i);
+    #    deflated j (lam_j = ds_j) contribute ratio 1 automatically.
+    #    lam_j - ds_i is formed through the anchored representation so the
+    #    j whose root sits within eps of ds_i keeps full relative accuracy.
+    idxs = jnp.arange(n)
+    offdiag = idxs[:, None] != idxs[None, :]
+    num = (ds[anchor][None, :] - ds[:, None]) + (sgn * troot)[None, :]
+    safe_den = jnp.where(offdiag & (dd != 0), dd, 1.0)
+    ratio = jnp.where(offdiag, num / safe_den, 1.0)
+    ratio = jnp.where(offdiag & (dd == 0), 1.0, ratio)
+    prod = jnp.prod(ratio, axis=1)         # over j != i of ratio[i, j]
+    zhat2 = jnp.maximum(mu * prod, 0.0)
+    zhat = jnp.sign(zs2) * jnp.sqrt(zhat2)
+    zhat = jnp.where(deflated, 0.0, zhat)
+
+    root = (anchor, sgn, troot)
+    return lam, zhat, ds, perm, root, deflated, rots, dd
+
+
+def _merge_vectors(qleft, qright, lam, zhat, perm, root, deflated, rots, dd):
+    """Assemble eigenvectors after a merge and sort ascending."""
+    n = lam.shape[0]
+    dt = lam.dtype
+    n1 = qleft.shape[0]
+    q = jnp.zeros((n, n), dt)
+    q = q.at[:n1, :n1].set(qleft)
+    q = q.at[n1:, n1:].set(qright)
+    q = q[:, perm]
+
+    def apply_rot(q, rot):
+        c, s, pi, i = rot
+        valid = pi >= 0
+        pi_ = jnp.maximum(pi, 0)
+        zero = jnp.zeros((), pi_.dtype)
+        colp = lax.dynamic_slice(q, (zero, pi_), (n, 1))
+        coli = lax.dynamic_slice(q, (zero, i), (n, 1))
+        newp = c * colp + s * coli
+        newi = -s * colp + c * coli
+        q = lax.dynamic_update_slice(q, jnp.where(valid, newp, colp), (zero, pi_))
+        q = lax.dynamic_update_slice(q, jnp.where(valid, newi, coli), (zero, i))
+        return q, None
+
+    q, _ = lax.scan(apply_rot, q, rots)
+
+    # rank-one eigenvectors: qv[j, i] = zhat_j / (ds_j - lam_i), with the
+    # denominator formed through the anchored root representation
+    anchor, sgn, troot = root
+    # den[j, i] = ds_j - lam_i = (ds_j - ds_anchor_i) - sgn_i * troot_i,
+    # using dd[anchor_i, j] = ds_j - ds_anchor_i (exact differences)
+    dsj_minus_anchor = jnp.take(dd, anchor, axis=0).T   # [j, i]
+    den = dsj_minus_anchor - (sgn * troot)[None, :]
+    eps = jnp.finfo(dt).eps
+    safe = jnp.where(den == 0, eps, den)
+    qv = zhat[:, None] / safe
+    norm = jnp.sqrt(jnp.sum(qv * qv, axis=0))
+    qv = qv / jnp.where(norm > 0, norm, 1.0)
+    qv = jnp.where(deflated[None, :], jnp.eye(n, dtype=dt), qv)
+
+    qnew = jnp.matmul(q, qv, precision=matmul_precision())
+    order = jnp.argsort(lam)
+    return lam[order], qnew[:, order]
+
+
+# ---------------------------------------------------------------------------
+# driver
+
+
+@functools.partial(jax.jit, static_argnames=("laed4_iter",))
+def _tridiag_dc_padded(d, e, laed4_iter):
+    m = d.shape[0]
+    dt = d.dtype
+    levels = 0
+    size = LEAF
+    while size < m:
+        size *= 2
+        levels += 1
+    assert size == m, (m, LEAF)
+
+    # Cuppen tears at every leaf boundary, applied up front (diagonal-only)
+    nblocks = m // LEAF
+    if nblocks > 1:
+        bidx = jnp.arange(1, nblocks) * LEAF
+        rho_all = jnp.abs(e[bidx - 1])
+        dmod = d.at[bidx - 1].add(-rho_all).at[bidx].add(-rho_all)
+    else:
+        dmod = d
+
+    dleaf = dmod.reshape(nblocks, LEAF)
+    eleaf = e.reshape(nblocks, LEAF)[:, :-1]
+
+    def leaf_dense(dv, ev):
+        return jnp.diag(dv) + jnp.diag(ev, 1) + jnp.diag(ev, -1)
+
+    tmats = jax.vmap(leaf_dense)(dleaf, eleaf)
+    lam, q = jax.vmap(_jacobi_eigh)(tmats)
+
+    tol_scale = jnp.max(jnp.abs(d)) + 2 * jnp.max(jnp.abs(e))
+
+    size = LEAF
+    for _lvl in range(levels):
+        nb2 = lam.shape[0] // 2
+        lam1, lam2 = lam[0::2], lam[1::2]
+        q1, q2 = q[0::2], q[1::2]
+        bnd = jnp.arange(nb2) * (2 * size) + size
+        ecut = e[bnd - 1]
+        rho = jnp.abs(ecut)
+        theta = jnp.where(ecut >= 0, 1.0, -1.0).astype(dt)
+
+        dcat = jnp.concatenate([lam1, lam2], axis=1)
+        z1 = theta[:, None] * q1[:, -1, :]
+        z2 = q2[:, 0, :]
+        zcat = jnp.concatenate([z1, z2], axis=1)
+
+        def do_merge(dv, zv, rv, q1v, q2v):
+            lamv, zhat, _ds, perm, mu, defl, rots, dd = _merge(  # mu = root repr
+                dv, zv, rv, tol_scale, laed4_iter)
+            return _merge_vectors(q1v, q2v, lamv, zhat, perm, mu, defl, rots, dd)
+
+        lam, q = jax.vmap(do_merge)(dcat, zcat, rho, q1, q2)
+        size *= 2
+
+    return lam[0], q[0]
+
+
+def tridiag_eigh(d, e, laed4_iter: int = 120):
+    """Full eigendecomposition of the symmetric tridiagonal (d, e).
+
+    Reference: ``dlaf::eigensolver::internal::TridiagSolver``
+    (``tridiag_solver/impl.h:198``). Returns (eigenvalues ascending,
+    eigenvectors as columns), dtype-generic over f32/f64.
+    """
+    d = jnp.asarray(d)
+    e = jnp.asarray(e)
+    n = d.shape[0]
+    dt = d.dtype
+    m = LEAF
+    while m < n:
+        m *= 2
+    emax = jnp.max(jnp.abs(e)) if n > 1 else jnp.zeros((), dt)
+    gersh = jnp.max(jnp.abs(d)) + 2 * emax
+    padvals = gersh + 1.0 + jnp.arange(m - n, dtype=dt)
+    dp = jnp.concatenate([d, padvals])
+    ep = jnp.zeros((m,), dt)
+    if n > 1:
+        ep = ep.at[: n - 1].set(e)
+    lam, q = _tridiag_dc_padded(dp, ep, laed4_iter)
+    return lam[:n], q[:n, :n]

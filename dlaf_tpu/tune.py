@@ -35,7 +35,7 @@ class TuneParameters:
     bt_band_to_tridiag_hh_apply_group_size: int = 64
     # number of secular-equation (laed4) Newton iterations in the tridiagonal
     # divide & conquer merge (analog of tridiag_rank1_* tuning, tune.h:117-124)
-    laed4_max_iter: int = 60
+    laed4_max_iter: int = 120
     # matmul precision for f32 inputs: "default" (bf16 1-pass), "float32"
     # (bf16_3x) or "highest" (bf16_6x); LAPACK-grade residuals need >= float32
     matmul_precision: str = "float32"
