@@ -50,6 +50,35 @@ class DistMatrix:
         m, n = self.dist.size
         return full[:m, :n]
 
+    def transpose(self, conj: bool = True) -> "DistMatrix":
+        """Distributed (conjugate) transpose.
+
+        On square grids this is a pure axis swap of the canonical layout
+        (shard (p,q) -> (q,p), local shards transposed) — XLA lowers the
+        resharding to a collective permute over ICI. Non-square grids fall
+        back to gather/rescatter on the host.
+        """
+        from ..dist import Distribution
+
+        P, Q = self.grid.grid_size
+        m, n = self.dist.size
+        newdist = Distribution((n, m), self.dist.block_size[::-1],
+                               self.grid.grid_size, self.src_rank_t())
+        if P == Q:
+            data = self.data.transpose(1, 0, 3, 2)
+            if conj:
+                data = jnp.conj(data)
+            data = jax.device_put(data, self.grid.canonical_sharding())
+            return DistMatrix(data, newdist, self.grid)
+        g = self.to_global()
+        g = g.conj().T if conj else g.T
+        return DistMatrix.from_global(jnp.asarray(g), self.dist.block_size[1],
+                                      self.grid)
+
+    def src_rank_t(self):
+        return (self.dist.src_rank[1] % self.grid.grid_size[0],
+                self.dist.src_rank[0] % self.grid.grid_size[1])
+
     @property
     def block_size(self) -> int:
         return self.dist.block_size[0]
