@@ -86,3 +86,10 @@ class DistMatrix:
     @property
     def local_shape(self):
         return self.data.shape[-2:]
+
+
+jax.tree_util.register_pytree_node(
+    DistMatrix,
+    lambda dm: ((dm.data,), (dm.dist, dm.grid)),
+    lambda aux, children: DistMatrix(children[0], aux[0], aux[1]),
+)

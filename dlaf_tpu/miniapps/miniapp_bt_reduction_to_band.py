@@ -1,0 +1,35 @@
+"""Back-transform (reduction->band) miniapp
+(reference ``miniapp/miniapp_bt_reduction_to_band.cpp``)."""
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+
+from dlaf_tpu.algos.eigensolver.bt import bt_reduction_to_band
+from dlaf_tpu.algos.eigensolver.red2band import reduction_to_band
+from dlaf_tpu.matrix import generators as gen
+from dlaf_tpu.types import total_ops
+
+from . import options
+
+
+def main(argv=None):
+    args = options.parser("miniapp_bt_reduction_to_band").parse_args(argv)
+    n = args.matrix_size
+    band = args.band_size or min(args.block_size, 128)
+    if n % band:
+        raise SystemExit("matrix-size must be a multiple of band-size")
+    dtype = options.dtype_of(args)
+    a = gen.random_hermitian(jax.random.PRNGKey(0), n, dtype)
+    packed, taus = reduction_to_band(a, band)
+    emat = gen.random_general(jax.random.PRNGKey(1), (n, n), dtype)
+
+    fn = functools.partial(bt_reduction_to_band, emat, packed, taus, band)
+    flops = total_ops(dtype, 2 * n**3, 2 * n**3)  # ~4 n^2 nev with nev = n
+    options.run_timed(args, fn, flops)
+
+
+if __name__ == "__main__":
+    main()

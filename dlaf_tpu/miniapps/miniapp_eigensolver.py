@@ -1,0 +1,40 @@
+"""Eigensolver miniapp (reference ``miniapp/miniapp_eigensolver.cpp``):
+wall time per solve + correctness gates (orthonormality and residual)."""
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+
+import dlaf_tpu as dt
+from dlaf_tpu.matrix import generators as gen
+from dlaf_tpu.types import eps
+
+from . import options
+
+
+def main(argv=None):
+    args = options.parser("miniapp_eigensolver").parse_args(argv)
+    n = args.matrix_size
+    dtype = options.dtype_of(args)
+    a = gen.random_hermitian(jax.random.PRNGKey(0), n, dtype)
+    band = args.band_size
+
+    fn = functools.partial(dt.eigh, a, uplo=args.uplo, band=band)
+
+    def check(out):
+        w, v = out
+        w, v = np.asarray(w), np.asarray(v)
+        an = np.asarray(a)
+        c = max(np.max(np.abs(an)), 1.0)
+        orth = np.max(np.abs(v.conj().T @ v - np.eye(n)))
+        res = np.max(np.abs(an @ v - v * w[None, :]))
+        ok = orth <= 500 * n * eps(dtype) and res <= 1000 * n * eps(dtype) * c
+        return ok, f"orth {orth:.2e} res {res:.2e}"
+
+    options.run_timed(args, fn, 0, check_fn=check)
+
+
+if __name__ == "__main__":
+    main()

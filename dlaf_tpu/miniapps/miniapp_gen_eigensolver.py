@@ -1,0 +1,39 @@
+"""Generalized eigensolver miniapp (reference ``miniapp/miniapp_gen_eigensolver.cpp``)."""
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+
+import dlaf_tpu as dt
+from dlaf_tpu.matrix import generators as gen
+from dlaf_tpu.types import eps
+
+from . import options
+
+
+def main(argv=None):
+    args = options.parser("miniapp_gen_eigensolver").parse_args(argv)
+    n = args.matrix_size
+    dtype = options.dtype_of(args)
+    a = gen.random_hermitian(jax.random.PRNGKey(0), n, dtype)
+    b = gen.random_hermitian_positive_definite(jax.random.PRNGKey(1), n, dtype)
+
+    fn = functools.partial(dt.eigh_gen, a, b, uplo=args.uplo)
+
+    def check(out):
+        w, x = out
+        w, x = np.asarray(w), np.asarray(x)
+        an, bn = np.asarray(a), np.asarray(b)
+        c = max(np.max(np.abs(an)), 1.0)
+        res = np.max(np.abs(an @ x - bn @ x * w[None, :]))
+        borth = np.max(np.abs(x.conj().T @ bn @ x - np.eye(n)))
+        ok = res <= 2000 * n * eps(dtype) * c and borth <= 2000 * n * eps(dtype)
+        return ok, f"res {res:.2e} B-orth {borth:.2e}"
+
+    options.run_timed(args, fn, 0, check_fn=check)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+"""Reduction-to-band miniapp (reference ``miniapp/miniapp_reduction_to_band.cpp``):
+GFlop/s with add = mul ~= 2 n^3 / 3 (band << n)."""
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+
+from dlaf_tpu.algos.eigensolver.red2band import extract_band, reduction_to_band
+from dlaf_tpu.matrix import generators as gen
+from dlaf_tpu.types import eps, total_ops
+
+from . import options
+
+
+def main(argv=None):
+    args = options.parser("miniapp_reduction_to_band").parse_args(argv)
+    n = args.matrix_size
+    band = args.band_size or min(args.block_size, 128)
+    if n % band:
+        raise SystemExit("matrix-size must be a multiple of band-size")
+    dtype = options.dtype_of(args)
+    a = gen.random_hermitian(jax.random.PRNGKey(0), n, dtype)
+
+    fn = functools.partial(reduction_to_band, a, band)
+    flops = total_ops(dtype, 2 * n**3 / 3, 2 * n**3 / 3)
+
+    def check(out):
+        packed, _ = out
+        bandm = np.asarray(extract_band(packed, band))
+        ev = np.linalg.eigvalsh(bandm)
+        ref = np.linalg.eigvalsh(np.asarray(a))
+        err = np.max(np.abs(ev - ref)) / max(np.max(np.abs(ref)), 1)
+        return err <= 500 * n * eps(dtype), f"eig err {err:.2e}"
+
+    options.run_timed(args, fn, flops, check_fn=check)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Shared miniapp CLI options, timing and output contract.
+
+Mirrors the reference miniapp framework
+(``miniapp/include/dlaf/miniapp/options.h``, ``dispatch.h``): common flags
+(--matrix-size, --block-size, --grid-rows/cols, --nruns, --nwarmups, --check,
+--type), warmup-excluded timing between full synchronization fences, and the
+parseable ``CSVData-2`` output row (``miniapp/miniapp_cholesky.cpp:165-189``)
+so the reference's postprocessing/plot scripts carry over.
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parser(name: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog=name)
+    p.add_argument("--matrix-size", "-n", type=int, default=2048)
+    p.add_argument("--block-size", "-b", type=int, default=256)
+    p.add_argument("--m", type=int, default=None, help="rows of B (solver/mult)")
+    p.add_argument("--grid-rows", type=int, default=1)
+    p.add_argument("--grid-cols", type=int, default=1)
+    p.add_argument("--nruns", type=int, default=3)
+    p.add_argument("--nwarmups", type=int, default=1)
+    p.add_argument("--check", action="store_true")
+    p.add_argument("--type", choices=["s", "d"], default="s",
+                   help="s=float32, d=float64")
+    p.add_argument("--uplo", choices=["L", "U"], default="L")
+    p.add_argument("--band-size", type=int, default=None)
+    p.add_argument("--csv", action="store_true", default=True)
+    return p
+
+
+def dtype_of(args):
+    if args.type == "d":
+        jax.config.update("jax_enable_x64", True)
+        return jnp.float64
+    return jnp.float32
+
+
+def sync(x):
+    """Fence: materialize a scalar through the runtime (the analog of
+    waitLocalTiles() + MPI_Barrier in the reference timing discipline)."""
+    leaves = jax.tree_util.tree_leaves(x)
+    if leaves:
+        float(jnp.sum(jnp.abs(jnp.ravel(leaves[0])[-8:].astype(jnp.float32))))
+
+
+def run_timed(args, fn, flop_count, extra=(), check_fn=None):
+    """Warmups + timed runs; prints per-run line + CSVData-2 row."""
+    backend = jax.default_backend()
+    for r in range(args.nwarmups + args.nruns):
+        t0 = time.perf_counter()
+        out = fn()
+        sync(out)
+        t = time.perf_counter() - t0
+        if r < args.nwarmups:
+            continue
+        run = r - args.nwarmups
+        gflops = flop_count / t / 1e9 if flop_count else 0.0
+        print(f"[{run}] {t:.6f}s {gflops:.2f}GFlop/s "
+              f"({args.matrix_size}, {args.block_size}) "
+              f"({args.grid_rows}, {args.grid_cols}) {backend}")
+        if args.csv:
+            row = ["CSVData-2", str(run), f"{t:.6f}", f"{gflops:.2f}",
+                   args.type, args.uplo, str(args.matrix_size),
+                   str(args.block_size), str(args.grid_rows),
+                   str(args.grid_cols), "1", backend, *map(str, extra)]
+            print(", ".join(row))
+    if args.check and check_fn is not None:
+        ok, msg = check_fn(out)
+        print(f"check: {'PASSED' if ok else 'FAILED'} ({msg})")
+        if not ok:
+            raise SystemExit(1)
+    return out
