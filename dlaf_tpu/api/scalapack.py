@@ -1,0 +1,220 @@
+"""ScaLAPACK-flavored descriptor API.
+
+TPU-native analog of the reference's C/ScaLAPACK layer (``include/dlaf_c/``,
+``src/c_api/``): an integer grid-context registry
+(``src/c_api/grid.cpp:1-93``), the ``DLAF_descriptor`` struct
+(``include/dlaf_c/desc.h:16``) and typed entry points named after the
+ScaLAPACK drop-ins (``dlaf_pspotrf``/``dlaf_pdpotrf``, ``dlaf_pssyevd``/...,
+``include/dlaf_c/factorization/cholesky.h:74-86``).
+
+Instead of wrapping per-rank local pointers (there is one Python process for
+the whole mesh), the entry points accept the matrix either as a global
+(m, n) array or as the ScaLAPACK block-cyclic local layout for a given rank
+set — :func:`from_scalapack_locals` / :func:`to_scalapack_locals` convert, so
+a ScaLAPACK user's data layout round-trips exactly.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..comm.mesh import Grid
+from ..dist import Distribution, index as ix
+
+
+# ---------------------------------------------------------------------------
+# grid registry (reference src/c_api/grid.cpp)
+
+_GRIDS: Dict[int, Grid] = {}
+_NEXT_CTX = [1]
+
+
+def dlaf_create_grid(grid_rows: int, grid_cols: int, order: str = "R") -> int:
+    """Create a device grid, return an integer context handle."""
+    assert order in ("R", "C")
+    g = Grid((grid_rows, grid_cols))
+    ctx = _NEXT_CTX[0]
+    _NEXT_CTX[0] += 1
+    _GRIDS[ctx] = g
+    return ctx
+
+
+def dlaf_get_grid(ctx: int) -> Grid:
+    return _GRIDS[ctx]
+
+
+def dlaf_free_grid(ctx: int) -> None:
+    _GRIDS.pop(ctx, None)
+
+
+def dlaf_free_all_grids() -> None:
+    _GRIDS.clear()
+
+
+# ---------------------------------------------------------------------------
+# descriptor (reference include/dlaf_c/desc.h:16)
+
+
+@dataclasses.dataclass
+class DLAF_descriptor:
+    m: int
+    n: int
+    mb: int
+    nb: int
+    isrc: int = 0
+    jsrc: int = 0
+    i: int = 0
+    j: int = 0
+    ld: int = 0
+
+    @classmethod
+    def from_scalapack(cls, desc) -> "DLAF_descriptor":
+        """From a ScaLAPACK desc[9] integer array (DTYPE_, CTXT_, M_, N_,
+        MB_, NB_, RSRC_, CSRC_, LLD_) — reference include/dlaf_c/utils.h:35-44."""
+        return cls(m=int(desc[2]), n=int(desc[3]), mb=int(desc[4]),
+                   nb=int(desc[5]), isrc=int(desc[6]), jsrc=int(desc[7]),
+                   ld=int(desc[8]))
+
+
+# ---------------------------------------------------------------------------
+# ScaLAPACK local-layout conversion
+
+
+def to_scalapack_locals(a, desc: DLAF_descriptor, grid_size) -> List[List[np.ndarray]]:
+    """Global (m, n) array -> per-rank column-major local arrays
+    (ScaLAPACK block-cyclic layout, numroc-sized)."""
+    a = np.asarray(a)
+    P, Q = grid_size
+    out = []
+    for p in range(P):
+        row = []
+        for q in range(Q):
+            lm = int(ix.local_size(desc.m, desc.mb, P, p, desc.isrc))
+            ln = int(ix.local_size(desc.n, desc.nb, Q, q, desc.jsrc))
+            loc = np.zeros((lm, ln), a.dtype, order="F")
+            for lt in range(ix.ceil_div(lm, desc.mb)):
+                gi = ix.global_tile_from_local_tile(lt, P, p, desc.isrc)
+                r0, r1 = gi * desc.mb, min((gi + 1) * desc.mb, desc.m)
+                if r0 >= desc.m:
+                    continue
+                for ltc in range(ix.ceil_div(ln, desc.nb)):
+                    gj = ix.global_tile_from_local_tile(ltc, Q, q, desc.jsrc)
+                    c0, c1 = gj * desc.nb, min((gj + 1) * desc.nb, desc.n)
+                    if c0 >= desc.n:
+                        continue
+                    loc[lt * desc.mb: lt * desc.mb + (r1 - r0),
+                        ltc * desc.nb: ltc * desc.nb + (c1 - c0)] = a[r0:r1, c0:c1]
+            row.append(loc)
+        out.append(row)
+    return out
+
+
+def from_scalapack_locals(locals_, desc: DLAF_descriptor, grid_size, dtype=None):
+    """Per-rank local arrays -> global (m, n) array (inverse of
+    :func:`to_scalapack_locals`)."""
+    P, Q = grid_size
+    dtype = dtype or locals_[0][0].dtype
+    a = np.zeros((desc.m, desc.n), dtype)
+    for p in range(P):
+        for q in range(Q):
+            loc = np.asarray(locals_[p][q])
+            lm, ln = loc.shape
+            for lt in range(ix.ceil_div(lm, desc.mb) if desc.mb else 0):
+                gi = ix.global_tile_from_local_tile(lt, P, p, desc.isrc)
+                r0, r1 = gi * desc.mb, min((gi + 1) * desc.mb, desc.m)
+                if r0 >= desc.m:
+                    continue
+                for ltc in range(ix.ceil_div(ln, desc.nb) if desc.nb else 0):
+                    gj = ix.global_tile_from_local_tile(ltc, Q, q, desc.jsrc)
+                    c0, c1 = gj * desc.nb, min((gj + 1) * desc.nb, desc.n)
+                    if c0 >= desc.n:
+                        continue
+                    a[r0:r1, c0:c1] = loc[lt * desc.mb: lt * desc.mb + (r1 - r0),
+                                          ltc * desc.nb: ltc * desc.nb + (c1 - c0)]
+    return a
+
+
+# ---------------------------------------------------------------------------
+# typed entry points (reference include/dlaf_c/factorization/cholesky.h:32-86,
+# eigensolver/eigensolver.h:36-55, eigensolver/gen_eigensolver.h)
+
+
+def _run_cholesky(ctx, uplo, a, desc):
+    from ..algos.cholesky import cholesky
+    from ..matrix.dist_matrix import DistMatrix
+    grid = dlaf_get_grid(ctx)
+    dm = DistMatrix.from_global(jnp.asarray(a), desc.mb, grid, pad_identity=True)
+    out = cholesky(dm)
+    g = np.asarray(out.to_global())
+    full = np.asarray(a).copy()
+    full[np.tril_indices(desc.m)] = np.tril(g)[np.tril_indices(desc.m)]
+    return full
+
+
+def dlaf_cholesky_factorization(ctx: int, uplo: str, a, desc: DLAF_descriptor):
+    """reference ``dlaf_cholesky_factorization_{s,d,c,z}``."""
+    if uplo == "U":
+        a = np.asarray(a)
+        low = _run_cholesky(ctx, "L", a.conj().T, dataclasses.replace(desc))
+        return np.triu(low.conj().T) + np.tril(a, -1)
+    return _run_cholesky(ctx, uplo, a, desc)
+
+
+def dlaf_symmetric_eigensolver(ctx: int, uplo: str, a, desc: DLAF_descriptor):
+    """reference ``dlaf_symmetric_eigensolver_{s,d}``: returns (w, z)."""
+    import dlaf_tpu as dt
+    w, z = dt.eigh(jnp.asarray(a), uplo=uplo)
+    return np.asarray(w), np.asarray(z)
+
+
+def dlaf_hermitian_eigensolver(ctx, uplo, a, desc):
+    return dlaf_symmetric_eigensolver(ctx, uplo, a, desc)
+
+
+def dlaf_symmetric_generalized_eigensolver(ctx: int, uplo: str, a, b,
+                                           desc: DLAF_descriptor,
+                                           factorized: bool = False):
+    """reference ``dlaf_symmetric_generalized_eigensolver[_factorized]_{s,d}``."""
+    import dlaf_tpu as dt
+    w, x = dt.eigh_gen(jnp.asarray(a), jnp.asarray(b), uplo=uplo,
+                       factorized=factorized)
+    return np.asarray(w), np.asarray(x)
+
+
+# ScaLAPACK-style aliases (reference dlaf_pspotrf/pdpotrf/pssyevd/...)
+
+def _scalapack_entry(fn, dtype):
+    def wrapper(uplo, n, a, ia, ja, desca, ctx, **kw):
+        assert ia == 1 and ja == 1, "sub-matrix offsets not supported yet"
+        desc = DLAF_descriptor.from_scalapack(desca) \
+            if not isinstance(desca, DLAF_descriptor) else desca
+        a = np.asarray(a, dtype)
+        return fn(ctx, uplo, a, desc, **kw)
+    return wrapper
+
+
+dlaf_pspotrf = _scalapack_entry(dlaf_cholesky_factorization, np.float32)
+dlaf_pdpotrf = _scalapack_entry(dlaf_cholesky_factorization, np.float64)
+dlaf_pcpotrf = _scalapack_entry(dlaf_cholesky_factorization, np.complex64)
+dlaf_pzpotrf = _scalapack_entry(dlaf_cholesky_factorization, np.complex128)
+dlaf_pssyevd = _scalapack_entry(dlaf_symmetric_eigensolver, np.float32)
+dlaf_pdsyevd = _scalapack_entry(dlaf_symmetric_eigensolver, np.float64)
+
+
+def dlaf_pssygvd(uplo, n, a, b, ia, ja, desca, ctx):
+    desc = DLAF_descriptor.from_scalapack(desca) \
+        if not isinstance(desca, DLAF_descriptor) else desca
+    return dlaf_symmetric_generalized_eigensolver(ctx, uplo,
+                                                  np.asarray(a, np.float32),
+                                                  np.asarray(b, np.float32), desc)
+
+
+def dlaf_pdsygvd(uplo, n, a, b, ia, ja, desca, ctx):
+    desc = DLAF_descriptor.from_scalapack(desca) \
+        if not isinstance(desca, DLAF_descriptor) else desca
+    return dlaf_symmetric_generalized_eigensolver(ctx, uplo,
+                                                  np.asarray(a, np.float64),
+                                                  np.asarray(b, np.float64), desc)
