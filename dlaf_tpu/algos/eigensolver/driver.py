@@ -42,10 +42,6 @@ def eigh(a, uplo: str = "L", band: int | None = None, laed4_iter: int | None = N
     v's columns the eigenvectors.
     """
     a = jnp.asarray(a)
-    if jnp.iscomplexobj(a):
-        raise NotImplementedError(
-            "complex eigh pending the subdiagonal phase-normalization step; "
-            "real symmetric (f32/f64) is supported")
     n = a.shape[0]
     if uplo == "U":
         a = ct(a)
@@ -66,8 +62,9 @@ def eigh(a, uplo: str = "L", band: int | None = None, laed4_iter: int | None = N
         # dense matrix as "band" with bandwidth n-1
         band_dense = jnp.tril(a) + ct(jnp.tril(a, -1))
         d, e, vs, taus2 = band_to_tridiag(band_dense, max(n - 1, 1))
-        w, q = tridiag_eigh(jnp.real(d), jnp.real(e), laed4)
-        q = q.astype(a.dtype)
+        er, phases = _phase_normalize(e, a.dtype)
+        w, q = tridiag_eigh(jnp.real(d), er, laed4)
+        q = (phases[:, None] * q.astype(a.dtype)).astype(a.dtype)
         q = bt_band_to_tridiag(q, vs, taus2, max(n - 1, 1))
         return w, q
 
@@ -85,11 +82,25 @@ def eigh(a, uplo: str = "L", band: int | None = None, laed4_iter: int | None = N
     packed, taus1 = reduction_to_band(ap, b)
     band_dense = extract_band(packed, b)
     d, e, vs, taus2 = band_to_tridiag(band_dense, b)
-    w, q = tridiag_eigh(jnp.real(d), jnp.real(e), laed4)
-    q = q.astype(ap.dtype)
+    er, phases = _phase_normalize(e, ap.dtype)
+    w, q = tridiag_eigh(jnp.real(d), er, laed4)
+    q = (phases[:, None] * q.astype(ap.dtype)).astype(ap.dtype)
     q = bt_band_to_tridiag(q, vs, taus2, b)
     q = bt_reduction_to_band(q, packed, taus1, b)
     return w[:n], q[:n, :n]
+
+
+def _phase_normalize(e, dtype):
+    """Make the tridiagonal subdiagonal real (hermitian input): with
+    phi_0 = 1, phi_{k+1} = phi_k * e_k/|e_k|, T = diag(phi) T_real diag(phi)^H
+    has subdiagonal |e|; eigenvectors map back as v = phi * v_real."""
+    from ...types import is_complex_dtype
+    if not is_complex_dtype(dtype):
+        return jnp.real(e), jnp.ones((e.shape[0] + 1,), dtype)
+    mag = jnp.abs(e)
+    sign = jnp.where(mag > 0, e / jnp.where(mag > 0, mag, 1.0), 1.0)
+    phases = jnp.concatenate([jnp.ones((1,), dtype), jnp.cumprod(sign)])
+    return mag.astype(jnp.real(e).dtype), phases
 
 
 def eigh_gen(a, b, uplo: str = "L", factorized: bool = False, **kw):

@@ -44,6 +44,29 @@ def test_eigh_sizes(n, real_dtype_p):
     _check_eigh(a, w, v, factor)
 
 
+@pytest.mark.parametrize("cdtype", ["complex64", "complex128"])
+@pytest.mark.parametrize("n", [5, 48, 100])
+def test_eigh_complex(n, cdtype):
+    dtype = np.dtype(cdtype)
+    a = gen.random_hermitian(jax.random.PRNGKey(n), n, dtype)
+    w, v = eigh(a)
+    factor = 2000 if dtype == np.dtype("complex64") else 200
+    _check_eigh(a, w, v, factor)
+
+
+def test_eigh_gen_complex():
+    n = 64
+    dtype = np.dtype("complex128")
+    a = gen.random_hermitian(jax.random.PRNGKey(1), n, dtype)
+    b = gen.random_hermitian_positive_definite(jax.random.PRNGKey(2), n, dtype)
+    w, x = eigh_gen(a, b)
+    an, bn = np.asarray(a), np.asarray(b)
+    w, x = np.asarray(w), np.asarray(x)
+    tol_ = 1000 * n * eps(dtype) * np.max(np.abs(an))
+    assert np.max(np.abs(an @ x - bn @ x * w[None, :])) <= tol_
+    assert np.max(np.abs(x.conj().T @ bn @ x - np.eye(n))) <= tol_
+
+
 def test_eigh_uplo_upper():
     n = 48
     a = gen.random_hermitian(jax.random.PRNGKey(3), n, np.dtype("float64"))
