@@ -1,0 +1,163 @@
+"""Distributed reduction to band over a 2-D device mesh.
+
+TPU-native re-design of the reference's distributed ``reduction_to_band``
+(``eigensolver/reduction_to_band/impl.h:1112-1463``): the same panel/trailing
+split, but with
+
+  - the panel gathered REPLICATED to every rank (an (n, b) strip — cheap)
+    instead of the reference's per-rank panel computation with column-comm
+    allreduces of norms/x0 (``impl.h:616-689``): each rank runs the identical
+    deterministic panel QR, so no reflector broadcast is needed at all;
+  - the two-sided trailing update evaluated IN PLACE on the distributed
+    shards: W = S V T is formed by one masked local GEMM pair per rank plus
+    one mesh-wide scatter-psum (replacing the reference's hemmComputeX
+    row+col reduce dance, ``impl.h:691-808``), and the rank-2b update
+    A -= V X^H + X V^H is local to every shard;
+  - everything lives in ONE shard_map/fori_loop program: the look-ahead and
+    round-robin workspaces of the reference (``impl.h:1186-1196``) are
+    subsumed by XLA's dataflow scheduling.
+
+Band size == distribution block size (the reference supports band < nb via
+retiling; here the API picks nb = band).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from ...comm import collectives as coll
+from ...comm.mesh import COL_AXIS, ROW_AXIS
+from ...matrix.dist_matrix import DistMatrix
+from ...ops.core import ct, matmul_precision
+from ...ops.householder import panel_qr, t_factor
+from ...types import is_complex_dtype
+
+
+def _gather_col_block(a, kt, nb, lmt):
+    """Local column-tile slab kt -> replicated global (n, nb) block."""
+    p = lax.axis_index(ROW_AXIS)
+    q = lax.axis_index(COL_AXIS)
+    Pn = lax.axis_size(ROW_AXIS)
+    Qn = lax.axis_size(COL_AXIS)
+    lm = a.shape[0]
+    slab = lax.dynamic_slice(a, (0, (kt // Qn) * nb), (lm, nb))
+    slab = coll.bcast(jnp.where(q == kt % Qn, slab, jnp.zeros_like(slab)),
+                      kt % Qn, COL_AXIS)
+    allr = lax.all_gather(slab, ROW_AXIS)            # (P, lm, nb)
+    # reorder to global rows: tile g = lt * P + p
+    return allr.reshape(Pn, lmt, nb, nb).transpose(1, 0, 2, 3).reshape(Pn * lmt * nb, nb)
+
+
+def _dist_red2band_shardfn(a4, *, nb, npanels):
+    a = a4[0, 0]
+    dt_ = a.dtype
+    p = lax.axis_index(ROW_AXIS)
+    q = lax.axis_index(COL_AXIS)
+    Pn = lax.axis_size(ROW_AXIS)
+    Qn = lax.axis_size(COL_AXIS)
+    lm, ln = a.shape
+    lmt, lnt = lm // nb, ln // nb
+    n = lmt * Pn * nb
+
+    grow = (jnp.arange(lmt) * Pn + p).repeat(nb) * nb + \
+        jnp.tile(jnp.arange(nb), lmt)                  # global row element ids
+    gcol = (jnp.arange(lnt) * Qn + q).repeat(nb) * nb + \
+        jnp.tile(jnp.arange(nb), lnt)
+    # on non-square grids the padded column count exceeds the padded row
+    # count n; those columns are pure padding and must not contribute
+    valid_col = gcol < n
+    gcol_c = jnp.minimum(gcol, n - 1)
+    tril_loc = (grow[:, None] >= gcol[None, :]) & valid_col[None, :]
+    rows_n = jnp.arange(n)
+
+    def panel_step(k, carry):
+        a, taus = carry
+        j0 = k * nb
+        r0 = j0 + nb
+
+        # ---- replicated panel QR -------------------------------------
+        panel = _gather_col_block(a, k, nb, lmt)       # (n, nb) replicated
+        panel = jnp.where((rows_n >= r0)[:, None], panel, 0)
+        shifted = jnp.roll(panel, -r0, axis=0)
+        v_s, taus_p, r_fac = panel_qr(shifted)
+        v = jnp.roll(v_s, r0, axis=0)
+        v = jnp.where((rows_n >= r0)[:, None], v, 0)
+        t = t_factor(v, taus_p)
+        u = jnp.matmul(v, t, precision=matmul_precision())   # (n, b)
+
+        # ---- distributed W = S @ U (S = trailing hermitian from tril) --
+        trail = (grow >= r0)[:, None] & (gcol >= r0)[None, :]
+        m_loc = jnp.where(trail & tril_loc, a, 0)
+        u_cols = jnp.take(u, gcol_c, axis=0)            # (ln, b)
+        u_rows = jnp.take(u, grow, axis=0)            # (lm, b)
+        w_rows = jnp.matmul(m_loc, u_cols, precision=matmul_precision())
+        strict = trail & tril_loc & (grow[:, None] > gcol[None, :])
+        m_str = jnp.where(strict, a, 0)
+        w_cols = jnp.matmul(ct(m_str), u_rows, precision=matmul_precision())
+        contrib = jnp.zeros((n, nb), dt_)
+        contrib = contrib.at[grow].add(w_rows)
+        contrib = contrib.at[gcol_c].add(jnp.where(valid_col[:, None], w_cols, 0))
+        w = lax.psum(lax.psum(contrib, ROW_AXIS), COL_AXIS)
+
+        # ---- X = W - 1/2 V (T^H (V^H W))  (replicated, small) ---------
+        vhw = jnp.matmul(ct(v), w, precision=matmul_precision())
+        x = w - 0.5 * jnp.matmul(
+            v, jnp.matmul(ct(t), vhw, precision=matmul_precision()),
+            precision=matmul_precision())
+
+        # ---- local rank-2b trailing update ---------------------------
+        v_rows = jnp.take(v, grow, axis=0)
+        v_cols = jnp.take(v, gcol_c, axis=0)
+        x_rows = jnp.take(x, grow, axis=0)
+        x_cols = jnp.take(x, gcol_c, axis=0)
+        upd = (jnp.matmul(v_rows, ct(x_cols), precision=matmul_precision())
+               + jnp.matmul(x_rows, ct(v_cols), precision=matmul_precision()))
+        a = jnp.where(trail & tril_loc, a - upd, a)
+
+        # ---- write back the panel (R on band block, V strictly below) --
+        head = r0 + jnp.arange(nb)
+        r_full = jnp.roll(jnp.concatenate(
+            [jnp.triu(r_fac), jnp.zeros((n - nb, nb), dt_)], axis=0), r0, axis=0)
+        newpanel = jnp.where(rows_n[:, None] > head[None, :], v, r_full)
+        # local col tile of the panel on owning ranks
+        lk_c = k // Qn
+        cur = lax.dynamic_slice(a, (0, lk_c * nb), (lm, nb))
+        mine = jnp.take(newpanel, grow, axis=0)        # (lm, nb)
+        keep_old = (grow < r0)[:, None]
+        merged = jnp.where(keep_old, cur, mine)
+        a = lax.dynamic_update_slice(
+            a, jnp.where(q == k % Qn, merged, cur), (0, lk_c * nb))
+
+        taus = lax.dynamic_update_slice(taus, taus_p, (j0,))
+        return a, taus
+
+    taus0 = jnp.zeros((n,), dt_)
+    a, taus = lax.fori_loop(0, npanels, panel_step, (a, taus0))
+    return a[None, None], taus
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "npanels", "mesh"))
+def _dist_red2band(data, *, nb, npanels, mesh):
+    spec = P(ROW_AXIS, COL_AXIS, None, None)
+    fn = jax.shard_map(
+        functools.partial(_dist_red2band_shardfn, nb=nb, npanels=npanels),
+        mesh=mesh, in_specs=(spec,), out_specs=(spec, P()),
+        check_vma=False)
+    return fn(data)
+
+
+def reduction_to_band_dist(a: DistMatrix):
+    """Distributed reduction to band (band == block size).
+
+    Returns (packed DistMatrix, taus replicated (n_padded,)).
+    """
+    nb = a.block_size
+    m, n = a.dist.size
+    assert m == n
+    npanels = max(a.dist.nr_tiles[0] - 1, 0)
+    data, taus = _dist_red2band(a.data, nb=nb, npanels=npanels, mesh=a.grid.mesh)
+    return DistMatrix(data, a.dist, a.grid), taus

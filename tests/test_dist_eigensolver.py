@@ -1,0 +1,62 @@
+"""Distributed eigensolver tests (reference distributed
+test_eigensolver.cpp / test_gen_eigensolver.cpp over grids)."""
+import jax
+import numpy as np
+import pytest
+
+import dlaf_tpu
+from dlaf_tpu.algos.eigensolver.dist_driver import eigh_dist, eigh_gen_dist
+from dlaf_tpu.algos.eigensolver.dist_red2band import reduction_to_band_dist
+from dlaf_tpu.algos.eigensolver.red2band import reduction_to_band
+from dlaf_tpu.comm.mesh import Grid
+from dlaf_tpu.matrix import generators as gen
+from dlaf_tpu.matrix.dist_matrix import DistMatrix
+from dlaf_tpu.types import eps
+
+
+@pytest.mark.parametrize("grid_size", [(2, 2), (2, 3), (1, 4)])
+def test_dist_red2band_matches_local(grid_size):
+    n, nb = 64, 8
+    a = gen.random_hermitian(jax.random.PRNGKey(0), n, np.float64)
+    dm = DistMatrix.from_global(a, nb, Grid(grid_size))
+    packed_d, taus_d = reduction_to_band_dist(dm)
+    packed_l, taus_l = reduction_to_band(a, nb)
+    np.testing.assert_allclose(np.asarray(packed_d.to_global()),
+                               np.asarray(packed_l), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(taus_d)[:n], np.asarray(taus_l),
+                               atol=1e-12)
+
+
+@pytest.mark.parametrize("grid_size", [(2, 2), (2, 4)])
+@pytest.mark.parametrize("n", [64, 90])
+def test_dist_eigh(grid_size, n):
+    dtype = np.dtype("float64")
+    nb = 16
+    a = gen.random_hermitian(jax.random.PRNGKey(1), n, dtype)
+    dm = DistMatrix.from_global(a, nb, Grid(grid_size))
+    w, v = eigh_dist(dm)
+    w = np.asarray(w)
+    vg = np.asarray(v.to_global())
+    an = np.asarray(a)
+    ref = np.linalg.eigvalsh(an)
+    tol = 500 * n * eps(dtype)
+    assert np.max(np.abs(w - ref)) <= tol
+    assert np.max(np.abs(vg.T @ vg - np.eye(n))) <= tol
+    assert np.max(np.abs(an @ vg - vg * w[None, :])) <= tol * np.max(np.abs(an))
+
+
+def test_dist_eigh_gen():
+    n, nb = 64, 16
+    dtype = np.dtype("float64")
+    a = gen.random_hermitian(jax.random.PRNGKey(2), n, dtype)
+    b = gen.random_hermitian_positive_definite(jax.random.PRNGKey(3), n, dtype)
+    grid = Grid((2, 2))
+    da = DistMatrix.from_global(a, nb, grid)
+    db = DistMatrix.from_global(b, nb, grid, pad_identity=True)
+    w, x = eigh_gen_dist(da, db)
+    w = np.asarray(w)
+    xg = np.asarray(x.to_global())
+    an, bn = np.asarray(a), np.asarray(b)
+    tol = 2000 * n * eps(dtype) * np.max(np.abs(an))
+    assert np.max(np.abs(an @ xg - bn @ xg * w[None, :])) <= tol
+    assert np.max(np.abs(xg.T @ bn @ xg - np.eye(n))) <= tol
