@@ -40,21 +40,29 @@ def potrf_lower(a, nb: int):
     Reference algorithm: tiled right-looking Cholesky
     (``factorization/cholesky/impl.h:151-189``); here as a recursive blocked
     factorization, mathematically identical ordering of the same tile ops.
+    All updates are in-place ``.at[]`` writes on one buffer (XLA aliases
+    them), never concatenations — the copy traffic of a rebuild-the-matrix
+    recursion costs more than the factorization's own GEMMs on TPU.
     """
     n = a.shape[0]
     assert n % nb == 0, (n, nb)
-    if n <= nb:
-        return potrf_leaf(a)
-    n1 = _split(n, nb)
-    l11 = potrf_lower(a[:n1, :n1], nb)
-    # A21 <- A21 * L11^-H  (tile::trsm Right/Lower/ConjTrans, blas/tile.h:473)
-    l21 = trsm(a[n1:, :n1], l11, side="R", lower=True, trans="C", unit=False, nb=nb)
-    # A22 <- A22 - L21 L21^H (tile::herk / gemm trailing update)
-    a22 = herk(a[n1:, n1:], l21, lower=True, trans="N", alpha=-1.0, beta=1.0, nb=nb)
-    l22 = potrf_lower(a22, nb)
-    top = jnp.concatenate([l11, jnp.zeros((n1, n - n1), a.dtype)], axis=1)
-    bot = jnp.concatenate([l21, l22], axis=1)
-    return jnp.concatenate([top, bot], axis=0)
+
+    def rec(a, o, s):
+        if s <= nb:
+            return a.at[o:o + s, o:o + s].set(potrf_leaf(a[o:o + s, o:o + s]))
+        s1 = _split(s, nb)
+        a = rec(a, o, s1)
+        # A21 <- A21 L11^-H (tile::trsm Right/Lower/ConjTrans, blas/tile.h:473)
+        l21 = trsm(a[o + s1:o + s, o:o + s1], a[o:o + s1, o:o + s1],
+                   side="R", lower=True, trans="C", unit=False, nb=nb)
+        a = a.at[o + s1:o + s, o:o + s1].set(l21)
+        # A22 <- A22 - L21 L21^H (tile::herk trailing update)
+        a = _herk_inplace(a, o + s1, s - s1, l21, lower=True, trans="N",
+                          alpha=-1.0, beta=1.0, nb=nb)
+        return rec(a, o + s1, s - s1)
+
+    a = rec(a, 0, n)
+    return jnp.tril(a)
 
 
 # ---------------------------------------------------------------------------
@@ -81,23 +89,27 @@ def trsm(b, a, *, side: str, lower: bool, trans: str, unit: bool, nb: int, alpha
 def _trsm_left(b, a, lower, trans, unit, nb):
     n = a.shape[0]
     assert n % nb == 0 and b.shape[0] == n
-    if n <= nb:
-        return trsm_leaf(a, b, left=True, lower=lower, trans=trans, unit=unit)
-    n1 = _split(n, nb)
-    a11, a22 = a[:n1, :n1], a[n1:, n1:]
-    off = a[n1:, :n1] if lower else a[:n1, n1:]
-    b1, b2 = b[:n1], b[n1:]
     forward = (lower and trans == "N") or (not lower and trans != "N")
-    if forward:
-        x1 = _trsm_left(b1, a11, lower, trans, unit, nb)
-        # op(A) block below-left: A21 (lower,N) or op(A12) (upper,T/C)
-        m = off if (lower and trans == "N") else _op(off, trans)
-        x2 = _trsm_left(b2 - mm(m, x1), a22, lower, trans, unit, nb)
-    else:
-        x2 = _trsm_left(b2, a22, lower, trans, unit, nb)
+
+    def rec(b, o, s):
+        if s <= nb:
+            return b.at[o:o + s].set(trsm_leaf(
+                a[o:o + s, o:o + s], b[o:o + s],
+                left=True, lower=lower, trans=trans, unit=unit))
+        s1 = _split(s, nb)
+        off = a[o + s1:o + s, o:o + s1] if lower else a[o:o + s1, o + s1:o + s]
+        if forward:
+            b = rec(b, o, s1)
+            # op(A) block below-left: A21 (lower,N) or op(A12) (upper,T/C)
+            m = off if (lower and trans == "N") else _op(off, trans)
+            b = b.at[o + s1:o + s].add(-mm(m, b[o:o + s1]))
+            return rec(b, o + s1, s - s1)
+        b = rec(b, o + s1, s - s1)
         m = off if (not lower and trans == "N") else _op(off, trans)
-        x1 = _trsm_left(b1 - mm(m, x2), a11, lower, trans, unit, nb)
-    return jnp.concatenate([x1, x2], axis=0)
+        b = b.at[o:o + s1].add(-mm(m, b[o + s1:o + s]))
+        return rec(b, o, s1)
+
+    return rec(b, 0, n)
 
 
 # ---------------------------------------------------------------------------
@@ -122,84 +134,104 @@ def trmm(b, a, *, side: str, lower: bool, trans: str, unit: bool, nb: int, alpha
 def _trmm_left(b, a, lower, trans, unit, nb):
     n = a.shape[0]
     assert n % nb == 0 and b.shape[0] == n
-    if n <= nb:
-        return mm(take_tri(a, lower, unit), b, ta=Trans(trans))
-    n1 = _split(n, nb)
-    a11, a22 = a[:n1, :n1], a[n1:, n1:]
-    off = a[n1:, :n1] if lower else a[:n1, n1:]
-    b1, b2 = b[:n1], b[n1:]
-    y1 = _trmm_left(b1, a11, lower, trans, unit, nb)
-    y2 = _trmm_left(b2, a22, lower, trans, unit, nb)
-    # op(A)'s off-diagonal block contributes to one half
     low_block = (lower and trans == "N") or (not lower and trans != "N")
-    m = off if (trans == "N") else _op(off, trans)
-    if low_block:
-        y2 = y2 + mm(m, b1)
-    else:
-        y1 = y1 + mm(m, b2)
-    return jnp.concatenate([y1, y2], axis=0)
+
+    def rec(b, o, s):
+        if s <= nb:
+            return b.at[o:o + s].set(
+                mm(take_tri(a[o:o + s, o:o + s], lower, unit), b[o:o + s],
+                   ta=Trans(trans)))
+        s1 = _split(s, nb)
+        off = a[o + s1:o + s, o:o + s1] if lower else a[o:o + s1, o + s1:o + s]
+        m = off if (trans == "N") else _op(off, trans)
+        # op(A)'s off-diagonal block contributes to one half; the source half
+        # must still hold the ORIGINAL b, so order the updates accordingly
+        if low_block:
+            cross = mm(m, b[o:o + s1])
+            b = rec(b, o, s1)
+            b = rec(b, o + s1, s - s1)
+            return b.at[o + s1:o + s].add(cross)
+        cross = mm(m, b[o + s1:o + s])
+        b = rec(b, o, s1)
+        b = rec(b, o + s1, s - s1)
+        return b.at[o:o + s1].add(cross)
+
+    return rec(b, 0, n)
 
 
 # ---------------------------------------------------------------------------
 # HERK / HER2K — hermitian rank-k updates (only referenced triangle written)
 
 
+def _herk_inplace(c, o, s, a, *, lower, trans, alpha, beta, nb):
+    """Triangle-only rank-k update of the diagonal block C[o:o+s, o:o+s];
+    ``a``'s n-dimension index 0 aligns with row/col ``o`` of that block."""
+    ta = Trans.NoTrans if trans == "N" else Trans.ConjTrans
+    tb = Trans.ConjTrans if trans == "N" else Trans.NoTrans
+
+    def blk(lo, ln):
+        return a[lo:lo + ln] if trans == "N" else a[:, lo:lo + ln]
+
+    def rec(c, co, s):
+        if s <= nb:
+            g = mm(blk(co - o, s), blk(co - o, s), ta=ta, tb=tb)
+            cb = c[co:co + s, co:co + s]
+            return c.at[co:co + s, co:co + s].set(
+                set_tri(cb, beta * cb + alpha * g, lower))
+        s1 = _split(s, nb)
+        c = rec(c, co, s1)
+        c = rec(c, co + s1, s - s1)
+        if lower:
+            g = mm(blk(co - o + s1, s - s1), blk(co - o, s1), ta=ta, tb=tb)
+            return c.at[co + s1:co + s, co:co + s1].set(
+                beta * c[co + s1:co + s, co:co + s1] + alpha * g)
+        g = mm(blk(co - o, s1), blk(co - o + s1, s - s1), ta=ta, tb=tb)
+        return c.at[co:co + s1, co + s1:co + s].set(
+            beta * c[co:co + s1, co + s1:co + s] + alpha * g)
+
+    return rec(c, o, s)
+
+
 def herk(c, a, *, lower: bool, trans: str, alpha=1.0, beta=1.0, nb: int = 128):
     """C <- alpha op(A) op(A)^H + beta C on the referenced triangle.
 
     trans='N': op(A)=A (n x k); trans='C': op(A)=A^H (reference tile::herk,
-    ``blas/tile.h:473-479``). Recursive: off-diagonal quadrants are plain
-    GEMMs, only leaf diagonal blocks compute a wasted half-triangle.
+    ``blas/tile.h:473-479``). Recursive with in-place block writes:
+    off-diagonal quadrants are plain GEMMs, only leaf diagonal blocks
+    compute a wasted half-triangle.
     """
-    n = c.shape[0]
-    if n <= nb:
-        g = mm(a, a, ta=Trans.NoTrans if trans == "N" else Trans.ConjTrans,
-               tb=Trans.ConjTrans if trans == "N" else Trans.NoTrans)
-        return set_tri(c, beta * c + alpha * g, lower)
-    n1 = _split(n, nb)
-    a1, a2 = (a[:n1], a[n1:]) if trans == "N" else (a[:, :n1], a[:, n1:])
-    c11 = herk(c[:n1, :n1], a1, lower=lower, trans=trans, alpha=alpha, beta=beta, nb=nb)
-    c22 = herk(c[n1:, n1:], a2, lower=lower, trans=trans, alpha=alpha, beta=beta, nb=nb)
-    ta = Trans.NoTrans if trans == "N" else Trans.ConjTrans
-    tb = Trans.ConjTrans if trans == "N" else Trans.NoTrans
-    if lower:
-        c21 = beta * c[n1:, :n1] + alpha * mm(a2, a1, ta=ta, tb=tb)
-        top = jnp.concatenate([c11, c[:n1, n1:]], axis=1)
-        bot = jnp.concatenate([c21, c22], axis=1)
-    else:
-        c12 = beta * c[:n1, n1:] + alpha * mm(a1, a2, ta=ta, tb=tb)
-        top = jnp.concatenate([c11, c12], axis=1)
-        bot = jnp.concatenate([c[n1:, :n1], c22], axis=1)
-    return jnp.concatenate([top, bot], axis=0)
+    return _herk_inplace(c, 0, c.shape[0], a, lower=lower, trans=trans,
+                         alpha=alpha, beta=beta, nb=nb)
 
 
 def her2k(c, a, b, *, lower: bool, trans: str, alpha=1.0, beta=1.0, nb: int = 128):
     """C <- alpha op(A) op(B)^H + conj(alpha) op(B) op(A)^H + beta C."""
     ta = Trans.NoTrans if trans == "N" else Trans.ConjTrans
     tb = Trans.ConjTrans if trans == "N" else Trans.NoTrans
-    n = c.shape[0]
-    if n <= nb:
-        g = alpha * mm(a, b, ta=ta, tb=tb)
-        g = g + jnp.conj(alpha) * mm(b, a, ta=ta, tb=tb)
-        return set_tri(c, beta * c + g, lower)
-    n1 = _split(n, nb)
-    if trans == "N":
-        a1, a2, b1, b2 = a[:n1], a[n1:], b[:n1], b[n1:]
-    else:
-        a1, a2, b1, b2 = a[:, :n1], a[:, n1:], b[:, :n1], b[:, n1:]
-    c11 = her2k(c[:n1, :n1], a1, b1, lower=lower, trans=trans, alpha=alpha, beta=beta, nb=nb)
-    c22 = her2k(c[n1:, n1:], a2, b2, lower=lower, trans=trans, alpha=alpha, beta=beta, nb=nb)
-    if lower:
-        g = alpha * mm(a2, b1, ta=ta, tb=tb) + jnp.conj(alpha) * mm(b2, a1, ta=ta, tb=tb)
-        c21 = beta * c[n1:, :n1] + g
-        top = jnp.concatenate([c11, c[:n1, n1:]], axis=1)
-        bot = jnp.concatenate([c21, c22], axis=1)
-    else:
-        g = alpha * mm(a1, b2, ta=ta, tb=tb) + jnp.conj(alpha) * mm(b1, a2, ta=ta, tb=tb)
-        c12 = beta * c[:n1, n1:] + g
-        top = jnp.concatenate([c11, c12], axis=1)
-        bot = jnp.concatenate([c[n1:, :n1], c22], axis=1)
-    return jnp.concatenate([top, bot], axis=0)
+
+    def blk(x, lo, ln):
+        return x[lo:lo + ln] if trans == "N" else x[:, lo:lo + ln]
+
+    def two(lo1, ln1, lo2, ln2):
+        g = alpha * mm(blk(a, lo1, ln1), blk(b, lo2, ln2), ta=ta, tb=tb)
+        return g + jnp.conj(alpha) * mm(blk(b, lo1, ln1), blk(a, lo2, ln2),
+                                        ta=ta, tb=tb)
+
+    def rec(c, o, s):
+        if s <= nb:
+            cb = c[o:o + s, o:o + s]
+            return c.at[o:o + s, o:o + s].set(
+                set_tri(cb, beta * cb + two(o, s, o, s), lower))
+        s1 = _split(s, nb)
+        c = rec(c, o, s1)
+        c = rec(c, o + s1, s - s1)
+        if lower:
+            return c.at[o + s1:o + s, o:o + s1].set(
+                beta * c[o + s1:o + s, o:o + s1] + two(o + s1, s - s1, o, s1))
+        return c.at[o:o + s1, o + s1:o + s].set(
+            beta * c[o:o + s1, o + s1:o + s] + two(o, s1, o + s1, s - s1))
+
+    return rec(c, 0, c.shape[0])
 
 
 # ---------------------------------------------------------------------------
