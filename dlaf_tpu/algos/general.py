@@ -169,9 +169,21 @@ def hermitian_multiplication(a: DistMatrix, b: DistMatrix, c=None, *,
     return _run(a, b, c, alpha, beta, "herm_L" if uplo == "L" else "herm_U")
 
 
-def triangular_multiplication(a: DistMatrix, b: DistMatrix, *, uplo: str = "L",
-                              diag: str = "N", alpha=1.0) -> DistMatrix:
-    """B <- alpha op(A) B with A triangular (reference
-    ``dlaf::triangular_multiplication``, Left/NoTrans distributed cases)."""
+def triangular_multiplication(a: DistMatrix, b: DistMatrix, *, side: str = "L",
+                              uplo: str = "L", diag: str = "N",
+                              alpha=1.0) -> DistMatrix:
+    """B <- alpha A B (side='L') or alpha B A (side='R'), A triangular.
+
+    The reference distributes exactly the four NoTrans cases LLN/LUN/RLN/RUN
+    (``multiplication/triangular/api.h:17-75``); Right reduces to Left by a
+    distributed transpose (B A = (A^T B^T)^T, triangle flips).
+    """
+    if side == "R":
+        at = a.transpose(conj=False)
+        bt = b.transpose(conj=False)
+        y = triangular_multiplication(at, bt, side="L",
+                                      uplo=("U" if uplo == "L" else "L"),
+                                      diag=diag, alpha=alpha)
+        return y.transpose(conj=False)
     mode = ("tril" if uplo == "L" else "triu") + ("_unit" if diag == "U" else "")
     return _run(a, b, None, alpha, 0.0, mode)

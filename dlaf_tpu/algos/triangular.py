@@ -130,12 +130,22 @@ def _dist_trsm(a_data, b_data, *, nb, nrt, leaf_nb, lower, trans, unit, alpha, m
 def triangular_solver(a: DistMatrix, b: DistMatrix, *, side: str = "L",
                       uplo: str = "L", trans: str = "N", diag: str = "N",
                       alpha=1.0) -> DistMatrix:
-    """Distributed op(A) X = alpha B (reference ``dlaf::triangular_solver``).
-
-    Left side natively; Right side is currently routed through the adjoint
-    reduction at the caller level (see api.distributed).
+    """Distributed op(A) X = alpha B / X op(A) = alpha B — all 8 cases of the
+    reference's distributed triangular solver
+    (``solver/triangular/impl.h:476-1195``). Left cases run natively; Right
+    cases reduce to Left by one distributed transpose on each side of the
+    solve (X op(A) = B  <=>  op(A)^T X^T = B^T).
     """
-    assert side == "L", "distributed Right side handled in api.distributed"
+    if side == "R":
+        if trans == "C":
+            y = triangular_solver(a, b.transpose(conj=True), side="L",
+                                  uplo=uplo, trans="N", diag=diag,
+                                  alpha=jnp.conj(alpha))
+            return y.transpose(conj=True)
+        tt = {"N": "T", "T": "N"}[trans]
+        y = triangular_solver(a, b.transpose(conj=False), side="L",
+                              uplo=uplo, trans=tt, diag=diag, alpha=alpha)
+        return y.transpose(conj=False)
     assert a.dist.size[0] == a.dist.size[1] == b.dist.size[0]
     assert a.block_size == b.block_size
     assert a.grid.grid_size == b.grid.grid_size
