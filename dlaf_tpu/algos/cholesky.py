@@ -27,7 +27,7 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from ..comm import collectives as coll
-from ..comm.mesh import COL_AXIS, ROW_AXIS, Grid
+from ..comm.mesh import COL_AXIS, ROW_AXIS
 from ..matrix.dist_matrix import DistMatrix
 from ..ops import blocked
 from ..ops.core import ct, matmul_precision

@@ -16,7 +16,6 @@ Round-1 distribution state (see README):
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from ...matrix.dist_matrix import DistMatrix
 from ...tune import get_tune_parameters

@@ -34,7 +34,6 @@ from ...comm.mesh import COL_AXIS, ROW_AXIS
 from ...matrix.dist_matrix import DistMatrix
 from ...ops.core import ct, matmul_precision
 from ...ops.householder import panel_qr, t_factor
-from ...types import is_complex_dtype
 
 
 def _gather_col_block(a, kt, nb, lmt):

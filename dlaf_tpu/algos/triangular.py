@@ -24,7 +24,7 @@ from ..comm import collectives as coll
 from ..comm.mesh import COL_AXIS, ROW_AXIS
 from ..matrix.dist_matrix import DistMatrix
 from ..ops import blocked
-from ..ops.core import ct, matmul_precision
+from ..ops.core import matmul_precision
 from ..tune import get_tune_parameters
 from ..types import is_complex_dtype
 

@@ -105,7 +105,6 @@ def hemm(a, b, c=None, side: str = "L", uplo: str = "L", alpha=1.0, beta=0.0):
     Reference: ``dlaf::hermitian_multiplication`` (``multiplication/hermitian.h``).
     """
     if c is None:
-        m = b.shape[0] if side == "L" else b.shape[0]
         c = jnp.zeros(b.shape, b.dtype)
         beta = 0.0
     return blocked.hemm(c, a, b, side=side, lower=(uplo == "L"),

@@ -16,13 +16,13 @@ a ScaLAPACK user's data layout round-trips exactly.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..comm.mesh import Grid
-from ..dist import Distribution, index as ix
+from ..dist import index as ix
 
 
 # ---------------------------------------------------------------------------

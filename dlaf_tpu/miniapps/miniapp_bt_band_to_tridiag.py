@@ -6,13 +6,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dlaf_tpu.algos.eigensolver.band2tridiag import band_to_tridiag
 from dlaf_tpu.algos.eigensolver.bt import bt_band_to_tridiag
 from dlaf_tpu.matrix import generators as gen
-from dlaf_tpu.types import eps
-
 from . import options
 
 

@@ -5,7 +5,6 @@ from __future__ import annotations
 import functools
 
 import jax
-import numpy as np
 
 from dlaf_tpu.algos.eigensolver.bt import bt_reduction_to_band
 from dlaf_tpu.algos.eigensolver.red2band import reduction_to_band

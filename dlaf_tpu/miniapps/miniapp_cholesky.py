@@ -5,10 +5,8 @@ GFlop/s = total_ops(n^3/6 add, n^3/6 mul)/t; optional ||A - L L^H|| check.
 from __future__ import annotations
 
 import functools
-import sys
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 import dlaf_tpu as dt

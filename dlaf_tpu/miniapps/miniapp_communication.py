@@ -3,7 +3,6 @@ times the mesh collectives used by the algorithms (psum-broadcast,
 all_gather, ppermute ring) over the device grid."""
 from __future__ import annotations
 
-import functools
 import time
 
 import jax

@@ -14,7 +14,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def parser(name: str) -> argparse.ArgumentParser:

@@ -15,11 +15,10 @@ and QR T-factor (``factorization/qr/t_factor_impl.h``):
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .core import ct, matmul_precision, mm
+from .core import mm
 from ..types import is_complex_dtype, real_dtype
 
 
