@@ -36,10 +36,16 @@ def random_hermitian_positive_definite(key, n, dtype):
     """Hermitian positive definite with eigenvalues in ~[n/2, 3n/2].
 
     Reference: ``util::matrix::set_random_hermitian_positive_definite``
-    (diagonal shifted by 2n in the reference; n here, same conditioning class).
+    (diagonal shifted by 2n in the reference; n here, same conditioning
+    class). Jitted so XLA fuses symmetrization + diagonal shift into one
+    buffer (matters at n = 32768: 4 GB per temporary).
     """
-    h = random_hermitian(key, n, dtype)
-    return h + n * jnp.eye(n, dtype=dtype)
+    @jax.jit
+    def build(key):
+        h = random_hermitian(key, n, dtype)
+        idx = jnp.arange(n)
+        return h.at[idx, idx].add(jnp.asarray(n, dtype))
+    return build(key)
 
 
 def random_triangular(key, n, dtype, lower: bool = True, unit: bool = False):
