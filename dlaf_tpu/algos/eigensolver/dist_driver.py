@@ -57,6 +57,15 @@ def eigh_dist(a: DistMatrix, laed4_iter: int | None = None):
     er, phases = _phase_normalize(e, packed_g.dtype)
     w, q = tridiag_eigh(jnp.real(d), er, laed4)
     q = (phases[:, None] * q.astype(packed_g.dtype)).astype(packed_g.dtype)
+
+    # back-transformations: shard the eigenvector matrix over its columns
+    # (every reflector application is row-local, so GSPMD keeps the big
+    # GEMMs fully distributed over the mesh)
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ...comm.mesh import COL_AXIS, ROW_AXIS
+    col_sharding = NamedSharding(a.grid.mesh, P(None, (ROW_AXIS, COL_AXIS)))
+    q = jax.device_put(q, col_sharding)
     q = bt_band_to_tridiag(q, vs, taus2, nb)
     q = bt_reduction_to_band(q, packed_g, taus1, nb)
 
