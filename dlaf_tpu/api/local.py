@@ -48,10 +48,12 @@ def _pad_zero(a, nb, axes=(0, 1)):
     return jnp.pad(a, pads)
 
 
-@functools.partial(jax.jit, static_argnames=("uplo", "nb"))
-def potrf(a, uplo: str = "L", nb: int | None = None):
+@functools.partial(jax.jit, static_argnames=("uplo", "nb", "clean"))
+def potrf(a, uplo: str = "L", nb: int | None = None, clean: bool = True):
     """Cholesky factor of hermitian positive definite ``a`` (referenced
-    triangle only is read). Returns the factor with the other triangle zeroed.
+    triangle only is read). With ``clean`` the other triangle is zeroed;
+    without it it keeps the original content (reference in-place semantics,
+    saves one full memory pass).
 
     Reference: ``dlaf::cholesky_factorization`` (``factorization/cholesky.h:40``).
     """
@@ -59,9 +61,9 @@ def potrf(a, uplo: str = "L", nb: int | None = None):
     n = a.shape[0]
     if uplo == "U":
         # U = L(A^H)^H computed on the adjoint
-        lp = blocked.potrf_lower(_pad_tri_identity(ct(a), nb), nb)
+        lp = blocked.potrf_lower(_pad_tri_identity(ct(a), nb), nb, clean=clean)
         return ct(lp)[:n, :n]
-    lp = blocked.potrf_lower(_pad_tri_identity(a, nb), nb)
+    lp = blocked.potrf_lower(_pad_tri_identity(a, nb), nb, clean=clean)
     return lp[:n, :n]
 
 

@@ -34,8 +34,12 @@ def _op(a, trans):
 # POTRF
 
 
-def potrf_lower(a, nb: int):
-    """Lower Cholesky of SPD ``a``; returns L with strictly-upper part zero.
+def potrf_lower(a, nb: int, clean: bool = True):
+    """Lower Cholesky of SPD ``a``.
+
+    With ``clean`` the strictly-upper part is zeroed (one extra full pass);
+    without it the upper triangle keeps the original input content — the
+    reference's in-place semantics (potrf writes only the lower triangle).
 
     Reference algorithm: tiled right-looking Cholesky
     (``factorization/cholesky/impl.h:151-189``); here as a recursive blocked
@@ -62,7 +66,7 @@ def potrf_lower(a, nb: int):
         return rec(a, o + s1, s - s1)
 
     a = rec(a, 0, n)
-    return jnp.tril(a)
+    return jnp.tril(a) if clean else a
 
 
 # ---------------------------------------------------------------------------
@@ -73,11 +77,18 @@ def trsm(b, a, *, side: str, lower: bool, trans: str, unit: bool, nb: int, alpha
     """Solve op(A) X = alpha B (side='L') or X op(A) = alpha B (side='R').
 
     All 8 side/uplo/trans cases of the reference's triangular solver
-    (``solver/triangular/impl.h:236-473``), each side recursing natively on
-    row (left) / column (right) blocks of B — no transposition copies.
+    (``solver/triangular/impl.h:236-473``). Right-side cases reduce to left
+    cases by transposition (X op(A) = B <=> op(A)^T X^T = B^T): on TPU the
+    two explicit transposes are faster than a native column-block recursion,
+    whose column-slab updates fight the row-major tiling (measured at
+    n = 32768: transposes 276 ms vs column recursion 306 ms).
     """
     if side == "R":
-        return _trsm_right(alpha * b, a, lower, trans, unit, nb)
+        if trans == "C":
+            y = _trsm_left(jnp.conj(alpha) * ct(b), a, lower, "N", unit, nb)
+            return ct(y)
+        tt = {"N": "T", "T": "N"}[trans]
+        return _trsm_left(alpha * b.T, a, lower, tt, unit, nb).T
     return _trsm_left(alpha * b, a, lower, trans, unit, nb)
 
 
@@ -102,35 +113,6 @@ def _trsm_left(b, a, lower, trans, unit, nb):
         b = rec(b, o + s1, s - s1)
         m = off if (not lower and trans == "N") else _op(off, trans)
         b = b.at[o:o + s1].add(-mm(m, b[o + s1:o + s]))
-        return rec(b, o, s1)
-
-    return rec(b, 0, n)
-
-
-def _trsm_right(b, a, lower, trans, unit, nb):
-    """Solve X op(A) = B over column blocks of B, in place."""
-    n = a.shape[0]
-    assert n % nb == 0 and b.shape[1] == n
-    # forward (solve low column blocks first) iff op(A) is lower triangular
-    forward = (lower and trans != "N") or (not lower and trans == "N")
-
-    def rec(b, o, s):
-        if s <= nb:
-            return b.at[:, o:o + s].set(trsm_leaf(
-                a[o:o + s, o:o + s], b[:, o:o + s],
-                left=False, lower=lower, trans=trans, unit=unit))
-        s1 = _split(s, nb)
-        off = a[o + s1:o + s, o:o + s1] if lower else a[o:o + s1, o + s1:o + s]
-        if forward:
-            # X1 solved first; B2 -= X1 @ op(A)[cols1, cols2]
-            b = rec(b, o, s1)
-            m = off if (not lower and trans == "N") else _op(off, trans)
-            b = b.at[:, o + s1:o + s].add(-mm(b[:, o:o + s1], m))
-            return rec(b, o + s1, s - s1)
-        # X2 solved first; B1 -= X2 @ op(A)[cols2, cols1]
-        b = rec(b, o + s1, s - s1)
-        m = off if (lower and trans == "N") else _op(off, trans)
-        b = b.at[:, o:o + s1].add(-mm(b[:, o + s1:o + s], m))
         return rec(b, o, s1)
 
     return rec(b, 0, n)
