@@ -100,3 +100,98 @@ def band_to_tridiag(band_dense, b: int):
     d = jnp.real(jnp.diagonal(full))
     e = jnp.diagonal(full, -1)
     return d, e, vs, taus
+
+
+# ---------------------------------------------------------------------------
+# wavefront-pipelined variant
+
+LAG = 4  # chase-steps between adjacent active sweeps (> window extent / b)
+
+
+@functools.partial(jax.jit, static_argnames=("b",))
+def band_to_tridiag_pipelined(band_dense, b: int):
+    """Wavefront-pipelined bulge chasing: identical mathematics and reflector
+    record as :func:`band_to_tridiag`, but sweeps run LAG chase-steps apart
+    so up to ncmax/LAG chases execute per step as ONE batched operation —
+    the TPU analog of the reference's pipelined SweepWorker ring
+    (``band_to_tridiag/mc.h:568-661``). Sequential steps drop from
+    ~n^2/b to ~LAG*n.
+
+    Disjointness: lane w works on rows [i0_w, i0_w + b), window columns
+    (j_w, j_w + 3b + 2]; adjacent active lanes are LAG*b - 1 >= 3b + 2 rows
+    apart (b >= 3), so all batched gathers/scatters touch disjoint blocks.
+    """
+    n = band_dense.shape[0]
+    dt_ = band_dense.dtype
+    if b == 1 or n <= 2 or b < 3:
+        return band_to_tridiag(band_dense, b)
+
+    pad = 3 * b + 2
+    npd = n + 2 * pad
+    a0 = jnp.zeros((npd, npd), dt_)
+    a0 = lax.dynamic_update_slice(a0, band_dense, (pad, pad))
+
+    nsweeps = n - 2
+    ncmax = -(-(n - 1) // b)
+    win = 3 * b + 2
+    nlanes = ncmax // LAG + 1
+    tsteps = LAG * (nsweeps - 1) + ncmax + 1
+
+    vs0 = jnp.zeros((nsweeps, ncmax, b), dt_)
+    taus0 = jnp.zeros((nsweeps, ncmax), dt_)
+
+    ar_b = jnp.arange(b)
+    ar_w = jnp.arange(win)
+    lanes = jnp.arange(nlanes)
+    oob = jnp.int32(npd + win + 8)
+
+    conj = (lambda x: jnp.conj(x)) if is_complex_dtype(dt_) else (lambda x: x)
+
+    def step(t, carry):
+        a, vs, taus = carry
+        s_w = t // LAG - lanes
+        c_w = t - LAG * s_w
+        nc_w = jnp.maximum(0, -(-(n - 1 - s_w) // b))
+        valid = (s_w >= 0) & (s_w < nsweeps) & (c_w < nc_w)
+        i0 = s_w + 1 + c_w * b
+        j = jnp.where(c_w == 0, s_w, s_w + 1 + (c_w - 1) * b)
+        i0p = jnp.where(valid, i0 + pad, oob)
+        jp = jnp.where(valid, j + pad, oob)
+        w0 = jnp.where(valid, jp + 1, oob)
+
+        rows = i0p[:, None] + ar_b[None, :]            # (W, b)
+        x = a.at[rows, jp[:, None]].get(mode="fill", fill_value=0)
+        v, tau, beta = jax.vmap(lambda xv: householder_vector(xv, 0))(x)
+        tau = jnp.where(valid, tau, 0)
+        v = jnp.where(valid[:, None], v, 0)
+
+        # eliminated column + symmetric mirror
+        newcol = jnp.where(ar_b[None, :] == 0, beta[:, None], 0).astype(dt_)
+        a = a.at[rows, jp[:, None]].set(newcol, mode="drop")
+        a = a.at[jp[:, None], rows].set(conj(newcol), mode="drop")
+
+        # two-sided windowed update, rows then cols (same order as sequential)
+        wcols = w0[:, None] + ar_w[None, :]            # (W, win)
+        srow = a.at[rows[:, :, None], wcols[:, None, :]].get(
+            mode="fill", fill_value=0)                 # (W, b, win)
+        vhs = jnp.einsum("wb,wbc->wc", conj(v), srow)
+        srow = srow - tau[:, None, None] * v[:, :, None] * vhs[:, None, :]
+        a = a.at[rows[:, :, None], wcols[:, None, :]].set(srow, mode="drop")
+
+        scol = a.at[wcols[:, :, None], rows[:, None, :]].get(
+            mode="fill", fill_value=0)                 # (W, win, b)
+        sv = jnp.einsum("wcb,wb->wc", scol, v)
+        scol = scol - conj(tau)[:, None, None] * sv[:, :, None] * conj(v)[:, None, :]
+        a = a.at[wcols[:, :, None], rows[:, None, :]].set(scol, mode="drop")
+
+        # record reflectors (invalid lanes dropped via OOB sweep index)
+        s_idx = jnp.where(valid, s_w, nsweeps + 1)
+        vs = vs.at[s_idx, c_w].set(v, mode="drop")
+        taus = taus.at[s_idx, c_w].set(tau, mode="drop")
+        return a, vs, taus
+
+    a, vs, taus = lax.fori_loop(0, tsteps, step, (a0, vs0, taus0))
+    full = lax.dynamic_slice(a, (pad, pad), (n, n))
+    d = jnp.real(jnp.diagonal(full))
+    e = jnp.diagonal(full, -1)
+    return d, e, vs, taus
