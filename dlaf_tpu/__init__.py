@@ -31,11 +31,35 @@ def hegst(*args, **kw):
     return generalized_to_standard(*args, **kw)
 
 
+def eigvalsh(a, uplo: str = "L", **kw):
+    """Eigenvalues only (skips both back-transformations)."""
+    from .algos.eigensolver.band2tridiag import band_to_tridiag_pipelined
+    from .algos.eigensolver.driver import _phase_normalize, eigh, get_band_size
+    from .algos.eigensolver.red2band import extract_band, reduction_to_band
+    from .algos.eigensolver.tridiag_dc import tridiag_eigh
+    import jax.numpy as jnp
+    from .ops.core import ct
+
+    a = jnp.asarray(a)
+    n = a.shape[0]
+    if uplo == "U":
+        a = ct(a)
+    tune = get_tune_parameters()
+    b = kw.get("band") or get_band_size(tune.default_block_size)
+    if n <= b or n % b:
+        return eigh(a, **kw)[0]
+    packed, _ = reduction_to_band(a, b)
+    d, e, _, _ = band_to_tridiag_pipelined(extract_band(packed, b), b)
+    er, _ = _phase_normalize(e, a.dtype)
+    w, _ = tridiag_eigh(jnp.real(d), er, tune.laed4_max_iter)
+    return w[:n]
+
+
 __version__ = "0.1.0"
 
 __all__ = [
     "dist", "ops", "types",
     "potrf", "trsm", "trmm", "hemm", "herk", "gemm",
-    "eigh", "eigh_gen", "hegst",
+    "eigh", "eigh_gen", "eigvalsh", "hegst",
     "TuneParameters", "get_tune_parameters", "set_tune_parameters",
 ]
