@@ -55,7 +55,7 @@ def eigh_dist(a: DistMatrix, laed4_iter: int | None = None):
     band_dense = extract_band(packed_g, nb)
     d, e, vs, taus2 = band_to_tridiag(band_dense, nb)
     er, phases = _phase_normalize(e, packed_g.dtype)
-    w, q = tridiag_eigh(jnp.real(d), er, laed4)
+    w, q = tridiag_eigh(jnp.real(d), er, laed4, mesh=a.grid.mesh)
     q = (phases[:, None] * q.astype(packed_g.dtype)).astype(packed_g.dtype)
 
     # back-transformations: shard the eigenvector matrix over its columns

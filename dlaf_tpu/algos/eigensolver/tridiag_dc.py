@@ -269,8 +269,8 @@ def _merge_vectors(qleft, qright, lam, zhat, perm, root, deflated, rots, dd):
 # driver
 
 
-@functools.partial(jax.jit, static_argnames=("laed4_iter",))
-def _tridiag_dc_padded(d, e, laed4_iter):
+@functools.partial(jax.jit, static_argnames=("laed4_iter", "mesh"))
+def _tridiag_dc_padded(d, e, laed4_iter, mesh=None):
     m = d.shape[0]
     dt = d.dtype
     levels = 0
@@ -279,6 +279,25 @@ def _tridiag_dc_padded(d, e, laed4_iter):
         size *= 2
         levels += 1
     assert size == m, (m, LEAF)
+
+    def constrain(lam, q):
+        """Distribute the level-synchronous batches over the mesh: deep
+        levels shard the merge batch, top levels shard the eigenvector rows
+        (reference: distributed mergeDistSubproblems, merge.h:1810-1941)."""
+        if mesh is None:
+            return lam, q
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axes = tuple(mesh.axis_names)
+        ndev = mesh.devices.size
+        nb_ = q.shape[0]
+        if nb_ % ndev == 0:
+            spec = P(axes, None, None)
+        elif q.shape[1] % ndev == 0:
+            spec = P(None, axes, None)
+        else:
+            return lam, q
+        q = jax.lax.with_sharding_constraint(q, NamedSharding(mesh, spec))
+        return lam, q
 
     # Cuppen tears at every leaf boundary, applied up front (diagonal-only)
     nblocks = m // LEAF
@@ -297,6 +316,7 @@ def _tridiag_dc_padded(d, e, laed4_iter):
 
     tmats = jax.vmap(leaf_dense)(dleaf, eleaf)
     lam, q = jax.vmap(_jacobi_eigh)(tmats)
+    lam, q = constrain(lam, q)
 
     tol_scale = jnp.max(jnp.abs(d)) + 2 * jnp.max(jnp.abs(e))
 
@@ -321,17 +341,19 @@ def _tridiag_dc_padded(d, e, laed4_iter):
             return _merge_vectors(q1v, q2v, lamv, zhat, perm, mu, defl, rots, dd)
 
         lam, q = jax.vmap(do_merge)(dcat, zcat, rho, q1, q2)
+        lam, q = constrain(lam, q)
         size *= 2
 
     return lam[0], q[0]
 
 
-def tridiag_eigh(d, e, laed4_iter: int = 120):
+def tridiag_eigh(d, e, laed4_iter: int = 120, mesh=None):
     """Full eigendecomposition of the symmetric tridiagonal (d, e).
 
     Reference: ``dlaf::eigensolver::internal::TridiagSolver``
     (``tridiag_solver/impl.h:198``). Returns (eigenvalues ascending,
-    eigenvectors as columns), dtype-generic over f32/f64.
+    eigenvectors as columns), dtype-generic over f32/f64. With ``mesh`` the
+    level-synchronous batches are sharded over the device grid.
     """
     d = jnp.asarray(d)
     e = jnp.asarray(e)
@@ -347,5 +369,5 @@ def tridiag_eigh(d, e, laed4_iter: int = 120):
     ep = jnp.zeros((m,), dt)
     if n > 1:
         ep = ep.at[: n - 1].set(e)
-    lam, q = _tridiag_dc_padded(dp, ep, laed4_iter)
+    lam, q = _tridiag_dc_padded(dp, ep, laed4_iter, mesh)
     return lam[:n], q[:n, :n]
