@@ -172,8 +172,8 @@ def _merge(d, z, rho, tol_scale, laed4_iter):
         s_no_own = 1.0 + rho * jnp.sum(jnp.where(own, 0.0, terms), axis=1)
         return sgn * f, df, s_no_own
 
-    def iter_fn(_, carry):
-        lo, hi, t = carry
+    def iter_fn(carry):
+        lo, hi, t, it = carry
         g, df, s_no_own = g_parts(t)
         lo = jnp.where(g < 0, t, lo)        # g increasing: g<0 -> root right
         hi = jnp.where(g < 0, hi, t)
@@ -189,11 +189,17 @@ def _merge(d, z, rho, tol_scale, laed4_iter):
         mid = 0.5 * (lo + hi)
         t = pick(fp, mid, lo, hi)
         t = pick(newton, t, lo, hi)
-        return lo, hi, t
+        return lo, hi, t, it + 1
+
+    def iter_cond(carry):
+        lo, hi, t, it = carry
+        # stop when every bracket is resolved to relative machine precision
+        unresolved = jnp.any((hi - lo) > 2 * eps * jnp.abs(t) + jnp.finfo(dt).tiny)
+        return (it < laed4_iter) & unresolved
 
     lo0 = jnp.zeros((n,), dt)
-    _, _, troot = lax.fori_loop(0, laed4_iter, iter_fn,
-                                (lo0, tmax, 0.5 * tmax))
+    lo_, hi_, troot, _ = lax.while_loop(
+        iter_cond, iter_fn, (lo0, tmax, 0.5 * tmax, jnp.int32(0)))
     troot = jnp.where(deflated, 0.0, troot)
     anchor = jnp.where(deflated, idx32, anchor)
     sgn = jnp.where(deflated, 1.0, sgn)
