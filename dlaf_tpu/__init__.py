@@ -33,7 +33,7 @@ def hegst(*args, **kw):
 
 def eigvalsh(a, uplo: str = "L", **kw):
     """Eigenvalues only (skips both back-transformations)."""
-    from .algos.eigensolver.band2tridiag import band_to_tridiag_pipelined
+    from .algos.eigensolver.band2tridiag import band_to_tridiag_auto as band_to_tridiag_pipelined
     from .algos.eigensolver.driver import _phase_normalize, eigh, get_band_size
     from .algos.eigensolver.red2band import extract_band, reduction_to_band
     from .algos.eigensolver.tridiag_dc import tridiag_eigh

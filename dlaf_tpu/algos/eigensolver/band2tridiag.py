@@ -143,7 +143,6 @@ def band_to_tridiag_pipelined(band_dense, b: int):
     ar_b = jnp.arange(b)
     ar_w = jnp.arange(win)
     lanes = jnp.arange(nlanes)
-    oob = jnp.int32(npd + win + 8)
 
     conj = (lambda x: jnp.conj(x)) if is_complex_dtype(dt_) else (lambda x: x)
 
@@ -155,36 +154,42 @@ def band_to_tridiag_pipelined(band_dense, b: int):
         valid = (s_w >= 0) & (s_w < nsweeps) & (c_w < nc_w)
         i0 = s_w + 1 + c_w * b
         j = jnp.where(c_w == 0, s_w, s_w + 1 + (c_w - 1) * b)
-        i0p = jnp.where(valid, i0 + pad, oob)
-        jp = jnp.where(valid, j + pad, oob)
-        w0 = jnp.where(valid, jp + 1, oob)
+        # invalid lanes are redirected into the top-left zero padding
+        # ([0, b) x [0, win+1)), which no valid window ever touches (valid
+        # windows live at indices >= pad = 3b+2); their writes below always
+        # store back the gathered original, so they are exact no-ops.
+        i0p = jnp.where(valid, i0 + pad, 0)
+        jp = jnp.where(valid, j + pad, 0)
+        w0 = jp + 1
 
         rows = i0p[:, None] + ar_b[None, :]            # (W, b)
-        x = a.at[rows, jp[:, None]].get(mode="fill", fill_value=0)
+        x = a[rows, jp[:, None]]
         v, tau, beta = jax.vmap(lambda xv: householder_vector(xv, 0))(x)
         tau = jnp.where(valid, tau, 0)
         v = jnp.where(valid[:, None], v, 0)
 
         # eliminated column + symmetric mirror
         newcol = jnp.where(ar_b[None, :] == 0, beta[:, None], 0).astype(dt_)
-        a = a.at[rows, jp[:, None]].set(newcol, mode="drop")
-        a = a.at[jp[:, None], rows].set(conj(newcol), mode="drop")
+        newcol = jnp.where(valid[:, None], newcol, x)
+        a = a.at[rows, jp[:, None]].set(newcol)
+        a = a.at[jp[:, None], rows].set(conj(newcol))
 
         # two-sided windowed update, rows then cols (same order as sequential)
         wcols = w0[:, None] + ar_w[None, :]            # (W, win)
-        srow = a.at[rows[:, :, None], wcols[:, None, :]].get(
-            mode="fill", fill_value=0)                 # (W, b, win)
+        srow = a[rows[:, :, None], wcols[:, None, :]]  # (W, b, win)
         vhs = jnp.einsum("wb,wbc->wc", conj(v), srow)
         srow = srow - tau[:, None, None] * v[:, :, None] * vhs[:, None, :]
-        a = a.at[rows[:, :, None], wcols[:, None, :]].set(srow, mode="drop")
+        a = a.at[rows[:, :, None], wcols[:, None, :]].set(srow)
 
-        scol = a.at[wcols[:, :, None], rows[:, None, :]].get(
-            mode="fill", fill_value=0)                 # (W, win, b)
+        scol = a[wcols[:, :, None], rows[:, None, :]]  # (W, win, b)
         sv = jnp.einsum("wcb,wb->wc", scol, v)
         scol = scol - conj(tau)[:, None, None] * sv[:, :, None] * conj(v)[:, None, :]
-        a = a.at[wcols[:, :, None], rows[:, None, :]].set(scol, mode="drop")
+        a = a.at[wcols[:, :, None], rows[:, None, :]].set(scol)
 
-        # record reflectors (invalid lanes dropped via OOB sweep index)
+        # record reflectors (invalid lanes land in slot (0, 0) with tau = 0,
+        # v = 0 — harmless only if slot (0,0) is written by its real owner
+        # later, so redirect invalid lanes to their own c_w slot of sweep 0,
+        # whose chases all happen at t < LAG and are valid; use drop instead)
         s_idx = jnp.where(valid, s_w, nsweeps + 1)
         vs = vs.at[s_idx, c_w].set(v, mode="drop")
         taus = taus.at[s_idx, c_w].set(tau, mode="drop")
@@ -195,3 +200,20 @@ def band_to_tridiag_pipelined(band_dense, b: int):
     d = jnp.real(jnp.diagonal(full))
     e = jnp.diagonal(full, -1)
     return d, e, vs, taus
+
+
+def band_to_tridiag_auto(band_dense, b: int):
+    """Kernel selection per tune.band_to_tridiag_kernel (see tune.py)."""
+    from ...tune import get_tune_parameters
+    kind = get_tune_parameters().band_to_tridiag_kernel
+    if kind == "sequential":
+        return band_to_tridiag(band_dense, b)
+    if kind == "pipelined":
+        return band_to_tridiag_pipelined(band_dense, b)
+    # auto: the axon TPU backend faults on the pipelined kernel's batched
+    # window scatters once >= 5 wavefront lanes are active
+    ncmax = -(-(band_dense.shape[0] - 1) // b)
+    risky = jax.default_backend() in ("tpu", "axon") and (ncmax // LAG + 1) >= 4
+    if risky:
+        return band_to_tridiag(band_dense, b)
+    return band_to_tridiag_pipelined(band_dense, b)

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ...matrix.dist_matrix import DistMatrix
 from ...tune import get_tune_parameters
-from .band2tridiag import band_to_tridiag_pipelined as band_to_tridiag
+from .band2tridiag import band_to_tridiag_auto as band_to_tridiag
 from .bt import bt_band_to_tridiag, bt_reduction_to_band
 from .dist_red2band import reduction_to_band_dist
 from .driver import _phase_normalize

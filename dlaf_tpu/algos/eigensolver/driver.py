@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ...api import local as lapi
 from ...ops.core import ct
 from ...tune import get_tune_parameters
-from .band2tridiag import band_to_tridiag_pipelined as band_to_tridiag
+from .band2tridiag import band_to_tridiag_auto as band_to_tridiag
 from .bt import bt_band_to_tridiag, bt_reduction_to_band
 from .red2band import extract_band, reduction_to_band
 from .tridiag_dc import tridiag_eigh

@@ -36,6 +36,11 @@ class TuneParameters:
     # number of secular-equation (laed4) Newton iterations in the tridiagonal
     # divide & conquer merge (analog of tridiag_rank1_* tuning, tune.h:117-124)
     laed4_max_iter: int = 120
+    # band->tridiag kernel selection: "auto" uses the wavefront-pipelined
+    # kernel except on the axon/TPU backend, where batched window scatters
+    # with >= 5 lanes currently fault the worker (backend bug; sequential
+    # kernel is used there); "pipelined"/"sequential" force a choice
+    band_to_tridiag_kernel: str = "auto"
     # matmul precision for f32 inputs: "default" (bf16 1-pass), "float32"
     # (bf16_3x) or "highest" (bf16_6x); LAPACK-grade residuals need >= float32
     matmul_precision: str = "float32"
