@@ -108,8 +108,8 @@ def band_to_tridiag(band_dense, b: int):
 LAG = 4  # chase-steps between adjacent active sweeps (> window extent / b)
 
 
-@functools.partial(jax.jit, static_argnames=("b",))
-def band_to_tridiag_pipelined(band_dense, b: int):
+@functools.partial(jax.jit, static_argnames=("b", "lane_chunk"))
+def band_to_tridiag_pipelined(band_dense, b: int, lane_chunk: int = 0):
     """Wavefront-pipelined bulge chasing: identical mathematics and reflector
     record as :func:`band_to_tridiag`, but sweeps run LAG chase-steps apart
     so up to ncmax/LAG chases execute per step as ONE batched operation —
@@ -140,14 +140,18 @@ def band_to_tridiag_pipelined(band_dense, b: int):
     vs0 = jnp.zeros((nsweeps, ncmax, b), dt_)
     taus0 = jnp.zeros((nsweeps, ncmax), dt_)
 
+    grp = lane_chunk if lane_chunk and lane_chunk < nlanes else nlanes
+    ngroups = -(-nlanes // grp)
+
     ar_b = jnp.arange(b)
     ar_w = jnp.arange(win)
-    lanes = jnp.arange(nlanes)
+    ar_g = jnp.arange(grp)
 
     conj = (lambda x: jnp.conj(x)) if is_complex_dtype(dt_) else (lambda x: x)
 
-    def step(t, carry):
+    def group_step(t, g, carry):
         a, vs, taus = carry
+        lanes = g * grp + ar_g
         s_w = t // LAG - lanes
         c_w = t - LAG * s_w
         nc_w = jnp.maximum(0, -(-(n - 1 - s_w) // b))
@@ -195,6 +199,12 @@ def band_to_tridiag_pipelined(band_dense, b: int):
         taus = taus.at[s_idx, c_w].set(tau, mode="drop")
         return a, vs, taus
 
+    def step(t, carry):
+        # lanes of one time step are independent (disjoint windows); the
+        # group loop only exists to cap the batched scatter width
+        return lax.fori_loop(0, ngroups,
+                             lambda g, c: group_step(t, g, c), carry)
+
     a, vs, taus = lax.fori_loop(0, tsteps, step, (a0, vs0, taus0))
     full = lax.dynamic_slice(a, (pad, pad), (n, n))
     d = jnp.real(jnp.diagonal(full))
@@ -211,9 +221,14 @@ def band_to_tridiag_auto(band_dense, b: int):
     if kind == "pipelined":
         return band_to_tridiag_pipelined(band_dense, b)
     # auto: the axon TPU backend faults on the pipelined kernel's batched
-    # window scatters once >= 5 wavefront lanes are active
-    ncmax = -(-(band_dense.shape[0] - 1) // b)
-    risky = jax.default_backend() in ("tpu", "axon") and (ncmax // LAG + 1) >= 4
-    if risky:
+    # 2-D window gather/scatters once the padded matrix exceeds ~VMEM size
+    # (isolated repro: OK at padded 1796^2 = 12.9 MB, crash at 2820^2 =
+    # 31.8 MB, independent of lane count/chunking); fall back to the
+    # sequential dynamic-slice kernel there until stage 2 moves to a
+    # dedicated Pallas kernel
+    n = band_dense.shape[0]
+    pad_n = n + 2 * (3 * b + 2)
+    vmem_ok = pad_n * pad_n * band_dense.dtype.itemsize <= 12 * 1024 * 1024
+    if jax.default_backend() in ("tpu", "axon") and not vmem_ok:
         return band_to_tridiag(band_dense, b)
     return band_to_tridiag_pipelined(band_dense, b)
