@@ -40,28 +40,65 @@ JACOBI_SWEEPS = 10
 # leaf solver: cyclic Jacobi on small dense symmetric matrices
 
 
+import numpy as _np
+
+
+def _round_robin_schedule(n):
+    """Static circle-method tournament: n-1 rounds of n/2 disjoint pairs."""
+    assert n % 2 == 0
+    players = list(range(n))
+    rounds = []
+    for _ in range(n - 1):
+        partner = [0] * n
+        for k in range(n // 2):
+            i, j = players[k], players[n - 1 - k]
+            partner[i] = j
+            partner[j] = i
+        rounds.append(partner)
+        players = [players[0]] + [players[-1]] + players[1:-1]
+    return rounds
+
+
 def _jacobi_eigh(a):
-    """Eigendecomposition of a small dense symmetric matrix by cyclic Jacobi
-    (branch-free; vectorizes over the leaf batch)."""
+    """Eigendecomposition of a small dense symmetric matrix by cyclic
+    (sequential-rotation) Jacobi. Element access and updates are expressed
+    through one-hot mask contractions instead of gathers/scatters: the TPU
+    f64-emulation path miscompiles gather/scatter on f64 operands, and the
+    mask form vectorizes over the leaf batch anyway. Cyclic ordering keeps
+    the classical global-convergence guarantee (a parallel round-robin
+    variant was tried and cycles on clustered tridiagonals).
+    """
     n = a.shape[0]
-    v0 = jnp.eye(n, dtype=a.dtype)
+    dt = a.dtype
+    v0 = jnp.eye(n, dtype=dt)
+    idx = jnp.arange(n)
 
     def rotate(carry, pq):
         a, v = carry
         p, q = pq[0], pq[1]
-        apq = a[p, q]
-        theta = (a[q, q] - a[p, p]) / (2 * jnp.where(apq == 0, 1.0, apq))
+        isp = (idx == p).astype(dt)
+        isq = (idx == q).astype(dt)
+        rp = isp @ a
+        rq = isq @ a
+        app = rp @ isp
+        aqq = rq @ isq
+        apq = rp @ isq
+        theta = (aqq - app) / (2 * jnp.where(apq == 0, 1.0, apq))
         t = jnp.sign(theta) / (jnp.abs(theta) + jnp.sqrt(theta * theta + 1))
         t = jnp.where(theta == 0, 1.0, t)      # theta == 0 -> 45 degrees
         t = jnp.where(apq == 0, 0.0, t)
         c = 1.0 / jnp.sqrt(t * t + 1)
         s = t * c
-        rp, rq = a[p], a[q]
-        a = a.at[p].set(c * rp - s * rq).at[q].set(s * rp + c * rq)
-        cp, cq = a[:, p], a[:, q]
-        a = a.at[:, p].set(c * cp - s * cq).at[:, q].set(s * cp + c * cq)
-        vp, vq = v[:, p], v[:, q]
-        v = v.at[:, p].set(c * vp - s * vq).at[:, q].set(s * vp + c * vq)
+        a = a + jnp.outer(isp, (c - 1) * rp - s * rq) \
+              + jnp.outer(isq, s * rp + (c - 1) * rq)
+        cp = a @ isp
+        cq = a @ isq
+        a = a + jnp.outer((c - 1) * cp - s * cq, isp) \
+              + jnp.outer(s * cp + (c - 1) * cq, isq)
+        vp = v @ isp
+        vq = v @ isq
+        v = v + jnp.outer((c - 1) * vp - s * vq, isp) \
+              + jnp.outer(s * vp + (c - 1) * vq, isq)
         return (a, v), None
 
     pqs = jnp.array([(p, q) for p in range(n - 1) for q in range(p + 1, n)],
