@@ -84,7 +84,12 @@ def _jacobi_eigh(a):
         aqq = rq @ isq
         apq = rp @ isq
         theta = (aqq - app) / (2 * jnp.where(apq == 0, 1.0, apq))
-        t = jnp.sign(theta) / (jnp.abs(theta) + jnp.sqrt(theta * theta + 1))
+        # range-safe tangent: the TPU f64-emulation path overflows (to NaN)
+        # at float32 range, so clamp |theta| before squaring; past the clamp
+        # the rotation angle is < eps and the rotation is skipped outright
+        at = jnp.minimum(jnp.abs(theta), 1e15)
+        t = jnp.sign(theta) / (at + jnp.sqrt(at * at + 1))
+        t = jnp.where(jnp.abs(theta) > 1e15, 0.0, t)
         t = jnp.where(theta == 0, 1.0, t)      # theta == 0 -> 45 degrees
         t = jnp.where(apq == 0, 0.0, t)
         c = 1.0 / jnp.sqrt(t * t + 1)
