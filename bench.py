@@ -7,6 +7,13 @@ ceiling at the same matmul precision — i.e. fraction of practical MXU peak
 
 Precision: f32 data with bf16_3x (jax "high") matmuls — the same effective
 f32 pipeline the residual tests validate.
+
+Timing discipline (reference style: fenced, warmups excluded,
+``miniapp/miniapp_cholesky.cpp:128-155``): every measured program takes a
+donated input prepared outside the timed region and is fenced by a tiny
+scalar readback (block_until_ready does not block on this backend); the
+fence+dispatch overhead is measured separately and subtracted symmetrically
+from both POTRF and the GEMM ceiling.
 """
 import json
 import sys
@@ -18,15 +25,27 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+_fence = jax.jit(lambda y: y.ravel()[-1])
 
-def _time_scalar(fn, *args, reps=3):
-    float(fn(*args))  # compile + warmup
+
+def _sync(x):
+    float(_fence(x))
+
+
+def _time_donated(fn, mk_input, ovh, reps=3):
+    """min time of fn(x) over fresh donated inputs, fence overhead removed."""
+    out = fn(mk_input())  # compile + warmup
+    del out
     ts = []
     for _ in range(reps):
+        x = mk_input()
+        _sync(x)
         t0 = time.perf_counter()
-        float(fn(*args))
+        y = fn(x)
+        _sync(y)
         ts.append(time.perf_counter() - t0)
-    return min(ts)
+        del y
+    return max(min(ts) - ovh, 1e-9)
 
 
 def main():
@@ -37,22 +56,33 @@ def main():
     prec = "high"
     dt.set_tune_parameters(matmul_precision=prec)
 
-    # dispatch overhead through the runtime (excluded from both measurements
-    # symmetrically, reference-style fenced timing)
+    # fence + dispatch overhead through the runtime
     tiny = jnp.ones((8, 128), jnp.float32)
-    ovh = _time_scalar(jax.jit(lambda v: jnp.sum(v)), tiny, reps=5)
+    _sync(tiny)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _sync(tiny)
+        ts.append(time.perf_counter() - t0)
+    ovh = min(ts)
 
     # GEMM ceiling at the same precision = practical MXU peak
     ng = 16384
     b = jax.random.normal(jax.random.PRNGKey(1), (ng, ng), jnp.float32)
-    gemm_fn = jax.jit(lambda x, y: jnp.sum(jnp.matmul(x, y, precision=prec)))
-    t_gemm = max(_time_scalar(gemm_fn, b, b) - ovh, 1e-9)
+    gemm_fn = jax.jit(
+        lambda x: jnp.matmul(x, x, precision=prec), donate_argnums=0)
+    mk_b = jax.jit(lambda x: x + 0.0)
+    t_gemm = _time_donated(gemm_fn, lambda: mk_b(b), ovh)
     peak = 2 * ng**3 / t_gemm / 1e12
 
+    # POTRF (upper: the layout-native uplo on TPU, see ops/blocked.py)
     n, nb = 32768, 512
-    a = gen.random_hermitian_positive_definite(jax.random.PRNGKey(0), n, jnp.float32)
-    potrf_fn = jax.jit(lambda x: jnp.sum(dt.potrf(x, nb=nb, clean=False)))
-    t = max(_time_scalar(potrf_fn, a) - ovh, 1e-9)
+    a = gen.random_hermitian_positive_definite(jax.random.PRNGKey(0), n,
+                                               jnp.float32)
+    potrf_fn = jax.jit(
+        lambda x: dt.potrf(x, uplo="U", nb=nb, clean=False), donate_argnums=0)
+    mk_a = jax.jit(lambda x: x + 0.0)
+    t = _time_donated(potrf_fn, lambda: mk_a(a), ovh)
     tflops = (n**3 / 3) / t / 1e12
 
     print(json.dumps({

@@ -60,9 +60,8 @@ def potrf(a, uplo: str = "L", nb: int | None = None, clean: bool = True):
     nb = _leaf_nb(nb)
     n = a.shape[0]
     if uplo == "U":
-        # U = L(A^H)^H computed on the adjoint
-        lp = blocked.potrf_lower(_pad_tri_identity(ct(a), nb), nb, clean=clean)
-        return ct(lp)[:n, :n]
+        up = blocked.potrf_upper(_pad_tri_identity(a, nb), nb, clean=clean)
+        return up[:n, :n]
     lp = blocked.potrf_lower(_pad_tri_identity(a, nb), nb, clean=clean)
     return lp[:n, :n]
 

@@ -69,6 +69,40 @@ def potrf_lower(a, nb: int, clean: bool = True):
     return jnp.tril(a) if clean else a
 
 
+def potrf_upper(a, nb: int, clean: bool = True):
+    """Upper Cholesky (A = U^H U) of SPD ``a``; lower mirror of
+    ``potrf_lower`` (reference Cholesky supports both uplo cases,
+    ``factorization/cholesky.h:40``).
+
+    On TPU this formulation is the faster of the two: the panel solve is a
+    LEFT triangular solve (U12 = U11^{-H} A12) and the trailing update is
+    herk(trans='C'), so no operand is ever physically transposed and XLA
+    keeps the whole program in the native row-major tiled layout. The
+    lower-uplo path's right-side solves force either transpose copies or a
+    whole-program column-major relayout (25 ms at n = 32768).
+    """
+    n = a.shape[0]
+    assert n % nb == 0, (n, nb)
+
+    def rec(a, o, s):
+        if s <= nb:
+            blk = a[o:o + s, o:o + s]
+            return a.at[o:o + s, o:o + s].set(potrf_leaf(blk, upper=True))
+        s1 = _split(s, nb)
+        a = rec(a, o, s1)
+        # A12 <- U11^{-H} A12 (left solve with the stored-upper factor)
+        u12 = trsm(a[o:o + s1, o + s1:o + s], a[o:o + s1, o:o + s1],
+                   side="L", lower=False, trans="C", unit=False, nb=nb)
+        a = a.at[o:o + s1, o + s1:o + s].set(u12)
+        # A22 <- A22 - U12^H U12
+        a = _herk_inplace(a, o + s1, s - s1, u12, lower=False, trans="C",
+                          alpha=-1.0, beta=1.0, nb=nb)
+        return rec(a, o + s1, s - s1)
+
+    a = rec(a, 0, n)
+    return jnp.triu(a) if clean else a
+
+
 # ---------------------------------------------------------------------------
 # TRSM — triangular solve with multiple RHS
 
@@ -77,18 +111,14 @@ def trsm(b, a, *, side: str, lower: bool, trans: str, unit: bool, nb: int, alpha
     """Solve op(A) X = alpha B (side='L') or X op(A) = alpha B (side='R').
 
     All 8 side/uplo/trans cases of the reference's triangular solver
-    (``solver/triangular/impl.h:236-473``). Right-side cases reduce to left
-    cases by transposition (X op(A) = B <=> op(A)^T X^T = B^T): on TPU the
-    two explicit transposes are faster than a native column-block recursion,
-    whose column-slab updates fight the row-major tiling (measured at
-    n = 32768: transposes 276 ms vs column recursion 306 ms).
+    (``solver/triangular/impl.h:236-473``). Right-side cases use a native
+    column-block recursion: reducing them to left cases through transposes
+    makes XLA flip the *entire surrounding program* into a column-major
+    layout, inserting two full-matrix relayout copies at the jit boundary
+    (25 ms at n = 32768) on top of the transposes themselves.
     """
     if side == "R":
-        if trans == "C":
-            y = _trsm_left(jnp.conj(alpha) * ct(b), a, lower, "N", unit, nb)
-            return ct(y)
-        tt = {"N": "T", "T": "N"}[trans]
-        return _trsm_left(alpha * b.T, a, lower, tt, unit, nb).T
+        return _trsm_right(alpha * b, a, lower, trans, unit, nb)
     return _trsm_left(alpha * b, a, lower, trans, unit, nb)
 
 
@@ -113,6 +143,33 @@ def _trsm_left(b, a, lower, trans, unit, nb):
         b = rec(b, o + s1, s - s1)
         m = off if (not lower and trans == "N") else _op(off, trans)
         b = b.at[o:o + s1].add(-mm(m, b[o + s1:o + s]))
+        return rec(b, o, s1)
+
+    return rec(b, 0, n)
+
+
+def _trsm_right(b, a, lower, trans, unit, nb):
+    """X op(A) = B by column-block recursion (all four lower/trans cases)."""
+    n = a.shape[0]
+    assert n % nb == 0 and b.shape[1] == n
+    forward = (lower and trans != "N") or (not lower and trans == "N")
+
+    def rec(b, o, s):
+        if s <= nb:
+            return b.at[:, o:o + s].set(trsm_leaf(
+                a[o:o + s, o:o + s], b[:, o:o + s],
+                left=False, lower=lower, trans=trans, unit=unit))
+        s1 = _split(s, nb)
+        off = a[o + s1:o + s, o:o + s1] if lower else a[o:o + s1, o + s1:o + s]
+        if forward:
+            b = rec(b, o, s1)
+            # op(A) block above-right: A12 (upper,N) or op(A21) (lower,T/C)
+            m = off if (not lower and trans == "N") else _op(off, trans)
+            b = b.at[:, o + s1:o + s].add(-mm(b[:, o:o + s1], m))
+            return rec(b, o + s1, s - s1)
+        b = rec(b, o + s1, s - s1)
+        m = off if (lower and trans == "N") else _op(off, trans)
+        b = b.at[:, o:o + s1].add(-mm(b[:, o + s1:o + s], m))
         return rec(b, o, s1)
 
     return rec(b, 0, n)

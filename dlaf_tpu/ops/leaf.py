@@ -37,15 +37,19 @@ def _use_pallas(dtype) -> bool:
     return jnp.dtype(dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
 
 
-def potrf_leaf(a):
-    """Lower Cholesky factor of a single SPD tile; strictly-upper part zeroed."""
+def potrf_leaf(a, upper: bool = False):
+    """Cholesky factor of a single SPD tile; the other triangle is zeroed.
+    ``upper`` selects A = U^H U on the upper triangle (strictly-lower zeroed)."""
     if _use_pallas(a.dtype):
         try:
             from .pallas.potrf import potrf_tile
         except ImportError:
             pass
         else:
-            return potrf_tile(a)
+            return potrf_tile(a, upper=upper)
+    if upper:
+        from .core import ct
+        return ct(jax.lax.linalg.cholesky(ct(a), symmetrize_input=False))
     return jax.lax.linalg.cholesky(a, symmetrize_input=False)
 
 

@@ -56,19 +56,26 @@ def _potrf_u_kernel(a_ref, o_ref):
     lax.fori_loop(0, nb // PANEL, step, 0)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def potrf_tile(a):
-    """Lower Cholesky factor of one SPD tile (f32/bf16), strict upper zeroed."""
+@functools.partial(jax.jit, static_argnames=("upper",))
+def potrf_tile(a, upper: bool = False):
+    """Cholesky factor of one SPD tile (f32/bf16), other triangle zeroed.
+
+    ``upper=False``: lower factor L (A = L L^T), reads a's lower triangle.
+    ``upper=True``: upper factor U (A = U^T U), reads a's upper triangle —
+    the kernel natively produces U, so this variant skips both transposes.
+    """
     nb = a.shape[0]
     assert nb % PANEL == 0, nb
-    # compute the upper factor of a (uses only the lower triangle after
-    # symmetrization; the blocked caller always passes full-symmetric-valid
-    # lower triangles, so mirror the lower into the upper first)
-    asym = jnp.tril(a) + jnp.tril(a, -1).T
+    # the kernel wants a full symmetric tile; mirror the valid triangle
+    if upper:
+        asym = jnp.triu(a) + jnp.triu(a, 1).T
+    else:
+        asym = jnp.tril(a) + jnp.tril(a, -1).T
     u = pl.pallas_call(
         _potrf_u_kernel,
         out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )(asym)
-    return jnp.triu(u).T
+    u = jnp.triu(u)
+    return u if upper else u.T
