@@ -37,7 +37,14 @@ def op_mat(a, trans: Trans):
 
 
 def mm(a, b, ta: Trans = Trans.NoTrans, tb: Trans = Trans.NoTrans, precision=None):
-    """op(a) @ op(b) at the configured matmul precision."""
+    """op(a) @ op(b) at the configured matmul precision.
+
+    Complex dtypes go through the native complex dot: XLA lowers it to real
+    MXU matmuls on TPU backends that support complex storage; the axon
+    emulation backend supports neither complex storage nor complex dot, so
+    complex paths there run the drivers' real reductions (eigensolver phase
+    normalization) or the CPU backend.
+    """
     return jnp.matmul(op_mat(a, ta), op_mat(b, tb),
                       precision=precision or matmul_precision())
 

@@ -28,6 +28,10 @@ CASES = [
                                       "--nruns", "1"]),
     ("miniapp_communication", ["-n", "32", "--grid-rows", "2", "--grid-cols", "4",
                                "--nruns", "1"]),
+    ("kernel_runner", ["--kernel", "potrf", "-b", "64", "--count", "4",
+                       "--nruns", "1"]),
+    ("kernel_runner", ["--kernel", "trsm", "-b", "64", "--count", "4",
+                       "--nruns", "1"]),
 ]
 
 
@@ -45,5 +49,7 @@ def test_miniapp(mod, argv, capsys):
     out = capsys.readouterr().out
     if "--check" in argv:
         assert "PASSED" in out
-    if mod != "miniapp_communication":
+    if mod not in ("miniapp_communication", "kernel_runner"):
         assert "CSVData-2" in out
+    if mod == "kernel_runner":
+        assert "us/tile" in out
