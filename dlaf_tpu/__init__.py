@@ -9,7 +9,7 @@ reductions, and static recursive blocking in place of the reference's dynamic
 sender/receiver task graph.
 """
 from . import dist, ops, types
-from .api.local import gemm, hemm, herk, potrf, trmm, trsm
+from .api.local import gemm, hemm, herk, potrf, potrf_info, trmm, trsm
 from .tune import TuneParameters, get_tune_parameters, set_tune_parameters
 
 
@@ -59,7 +59,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "dist", "ops", "types",
-    "potrf", "trsm", "trmm", "hemm", "herk", "gemm",
+    "potrf", "potrf_info", "trsm", "trmm", "hemm", "herk", "gemm",
     "eigh", "eigh_gen", "eigvalsh", "hegst",
     "TuneParameters", "get_tune_parameters", "set_tune_parameters",
 ]

@@ -79,6 +79,11 @@ def _local_potrf_step(a, kt, *, nb, leaf_nb, glob_row, glob_col, row_tile, col_t
     wall = lax.all_gather(w, ROW_AXIS)                   # (P, lm, nb)
     lmt = lm // nb
     wg = wall.reshape(Pn, lmt, nb, nb).transpose(1, 0, 2, 3).reshape(Pn * lmt, nb, nb)
+    # invariant: on non-square grids ceil(nrt/Q)*Q can exceed wg's extent
+    # Pn*lmt; jnp.take's clamp ('clip') gather semantics then return the last
+    # row-tile, but only for col_tile entries that index PADDING column tiles
+    # (global tile >= nrt), whose values are masked/ignored downstream — a
+    # layout change that breaks this must mask col_tile explicitly
     wt = jnp.take(wg, col_tile, axis=0).reshape(ln, nb)  # row c -> L(gcol(c), kt)
     wt = jnp.where((col_tile.repeat(nb) > kt)[:, None], wt, jnp.zeros_like(wt))
 
@@ -128,3 +133,18 @@ def cholesky(a: DistMatrix) -> DistMatrix:
     leaf = min(get_tune_parameters().leaf_block_size, nb)
     out = _dist_potrf(a.data, nb=nb, nrt=nrt, leaf_nb=leaf, mesh=a.grid.mesh)
     return DistMatrix(out, a.dist, a.grid)
+
+
+def cholesky_info(a: DistMatrix):
+    """Distributed Cholesky plus LAPACK-style info: (L, info).
+
+    info == 0 on success, else the 1-based index of the first non-positive /
+    non-finite factor pivot (reference ``tile::potrfInfo``,
+    ``lapack/tile.h:615-616``). The diagonal check runs device-side
+    (``DistMatrix.diagonal``) — no host gather of the matrix.
+    """
+    out = cholesky(a)
+    d = jnp.real(out.diagonal())
+    bad = (~jnp.isfinite(d)) | (d <= 0)
+    info = jnp.where(jnp.any(bad), jnp.argmax(bad) + 1, 0).astype(jnp.int32)
+    return out, info

@@ -46,7 +46,7 @@ def eigh_dist(a: DistMatrix, laed4_iter: int | None = None):
         gp = jnp.zeros((pm, pm), g.dtype)
         gp = gp.at[:n, :n].set(g)
         gp = gp.at[jnp.arange(n, pm), jnp.arange(n, pm)].set(
-            gersh + jnp.arange(pm - n, dtype=jnp.abs(g).dtype))
+            gersh + 1.0 + jnp.arange(pm - n, dtype=jnp.abs(g).dtype))
         a = DistMatrix.from_global(gp, nb, a.grid)
 
     packed, taus1 = reduction_to_band_dist(a)
@@ -64,8 +64,9 @@ def eigh_dist(a: DistMatrix, laed4_iter: int | None = None):
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
     from ...comm.mesh import COL_AXIS, ROW_AXIS
-    col_sharding = NamedSharding(a.grid.mesh, P(None, (ROW_AXIS, COL_AXIS)))
-    q = jax.device_put(q, col_sharding)
+    if q.shape[1] % a.grid.mesh.devices.size == 0:
+        col_sharding = NamedSharding(a.grid.mesh, P(None, (ROW_AXIS, COL_AXIS)))
+        q = jax.device_put(q, col_sharding)
     q = bt_band_to_tridiag(q, vs, taus2, nb)
     q = bt_reduction_to_band(q, packed_g, taus1, nb)
 
@@ -73,19 +74,21 @@ def eigh_dist(a: DistMatrix, laed4_iter: int | None = None):
     return w[:n], v
 
 
-def eigh_gen_dist(a: DistMatrix, b: DistMatrix, laed4_iter: int | None = None):
+def eigh_gen_dist(a: DistMatrix, b: DistMatrix, laed4_iter: int | None = None,
+                  b_factorized: bool = False):
     """Distributed generalized eigensolver:
     cholesky -> gen_to_std -> eigh -> TRSM back-substitution, each stage the
-    distributed implementation (reference ``gen_eigensolver/impl.h:46-93``).
+    distributed implementation (reference ``gen_eigensolver/impl.h:46-93``;
+    ``b_factorized`` = the reference's ``already_factorized`` mode where ``b``
+    already holds the Cholesky factor L). The A symmetrization runs
+    device-side (``DistMatrix.symmetrize``) — no host round-trip.
     """
-    from ...ops.core import symmetrize_tri
     from ..cholesky import cholesky
     from ..gen_to_std import generalized_to_standard_dist
     from ..triangular import triangular_solver
 
-    l = cholesky(b)
-    afull = DistMatrix.from_global(
-        symmetrize_tri(jnp.asarray(a.to_global()), True), a.block_size, a.grid)
+    l = b if b_factorized else cholesky(b)
+    afull = a.symmetrize(lower=True)
     astd = generalized_to_standard_dist(afull, l)
     w, z = eigh_dist(astd, laed4_iter)
     x = triangular_solver(l, z, uplo="L", trans="C")

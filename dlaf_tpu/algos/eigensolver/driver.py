@@ -25,8 +25,8 @@ from .tridiag_dc import tridiag_eigh
 
 
 def get_band_size(nb: int) -> int:
-    """Largest divisor of nb >= eigensolver_min_band (reference
-    ``eigensolver/internal/get_band_size.h:20``)."""
+    """Smallest divisor of nb >= eigensolver_min_band (reference
+    ``eigensolver/internal/get_band_size.h:20`` getBandSize)."""
     min_band = get_tune_parameters().eigensolver_min_band
     for cand in range(min_band, nb + 1):
         if nb % cand == 0:
@@ -71,10 +71,12 @@ def eigh(a, uplo: str = "L", band: int | None = None, laed4_iter: int | None = N
     if npad:
         ap = jnp.zeros((n + npad, n + npad), a.dtype)
         ap = ap.at[:n, :n].set(a)
-        # decoupled padding: large diagonal so padded eigenvalues sort last
+        # decoupled padding: large separated diagonal so padded eigenvalues
+        # sort strictly last (the +1 keeps them above the Gershgorin bound
+        # even for an all-zero input)
         gersh = jnp.max(jnp.abs(a)) * (n + 1)
         ap = ap.at[jnp.arange(n, n + npad), jnp.arange(n, n + npad)].set(
-            gersh + jnp.arange(npad, dtype=jnp.real(a).dtype))
+            gersh + 1.0 + jnp.arange(npad, dtype=jnp.real(a).dtype))
     else:
         ap = a
     m = ap.shape[0]

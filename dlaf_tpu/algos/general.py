@@ -66,6 +66,8 @@ def _row_panel_as_col(a, kt, nb, row_tile, conj: bool):
                      kt % Pn, ROW_AXIS)
     rall = lax.all_gather(row, COL_AXIS)            # (Q, nb, ln)
     rg = rall.reshape(Qn, nb, lnt, nb).transpose(2, 0, 1, 3).reshape(lnt * Qn, nb, nb)
+    # row_tile entries past rg's extent are padding tiles; jnp.take clamps and
+    # the junk lands only in masked padding rows (see note in algos/cholesky.py)
     tiles = jnp.take(rg, row_tile, axis=0)          # (lmt, nb, nb)
     if conj and is_complex_dtype(a.dtype):
         tiles = jnp.conj(tiles)
@@ -93,13 +95,15 @@ def _gemm_shardfn(a4, b4, c4, *, nb, kt_count, alpha, beta, a_mode):
             ap = _col_panel(a, kt, nb, row_tile)
         else:
             colp = _col_panel(a, kt, nb, row_tile)      # stored col (valid i >= kt / i <= kt)
-            rowp = _row_panel_as_col(a, kt, nb, row_tile,
-                                     conj=a_mode.startswith("herm"))
             lower = a_mode in ("herm_L", "tril", "tril_unit")
             unit = a_mode.endswith("unit")
             # diagonal tile: take the stored triangle only
             dmask = (row_tile_el == kt)[:, None]
             if a_mode.startswith("herm"):
+                # only the hermitian modes need the transposed stored row
+                # (triangular modes read one triangle only) — building it
+                # unconditionally would pay an all_gather per k-step
+                rowp = _row_panel_as_col(a, kt, nb, row_tile, conj=True)
                 below = (row_tile_el > kt)[:, None]
                 ap = jnp.where(below, colp if lower else rowp,
                                jnp.where(dmask, 0.0, colp if not lower else rowp))

@@ -56,6 +56,9 @@ def _mult_panel(a, kt, *, nb, trans, lmt_b, row_tile_b):
     lnt = ln // nb
     rg = rall.reshape(Qn, nb, lnt, nb).transpose(2, 0, 1, 3).reshape(lnt * Qn, nb, nb)
     # local B row tile i (global row_tile_b) needs A(kt, gi) -> op -> (nb, nb)
+    # (row_tile_b entries past rg's extent are padding tiles; jnp.take clamps
+    # and the clamped junk lands only in masked padding rows — see the
+    # invariant note in algos/cholesky.py)
     tiles = jnp.take(rg, row_tile_b, axis=0)           # (lmt_b, nb, nb)
     if trans == "C" and is_complex_dtype(a.dtype):
         tiles = jnp.conj(tiles)

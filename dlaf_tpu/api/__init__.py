@@ -1,3 +1,3 @@
-from .local import gemm, hemm, herk, potrf, trmm, trsm
+from .local import gemm, hemm, herk, potrf, potrf_info, trmm, trsm
 
-__all__ = ["potrf", "trsm", "trmm", "hemm", "herk", "gemm"]
+__all__ = ["potrf", "potrf_info", "trsm", "trmm", "hemm", "herk", "gemm"]

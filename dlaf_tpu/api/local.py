@@ -66,6 +66,24 @@ def potrf(a, uplo: str = "L", nb: int | None = None, clean: bool = True):
     return lp[:n, :n]
 
 
+@functools.partial(jax.jit, static_argnames=("uplo", "nb", "clean"))
+def potrf_info(a, uplo: str = "L", nb: int | None = None, clean: bool = True):
+    """Cholesky factor plus a LAPACK-style info channel: (L, info).
+
+    info == 0 on success; otherwise the 1-based index of the first column
+    whose factor diagonal is non-positive or non-finite. A non-SPD pivot
+    turns into NaN through the rsqrt and propagates forward; the leaf kernel
+    may NaN its whole tile, so info identifies the failing pivot to within
+    its tile (the reference's ``potrfInfo`` is likewise per-tile,
+    ``lapack/tile.h:615-616``, ``src/cusolver/assert_info.cu:49``).
+    """
+    l = potrf(a, uplo=uplo, nb=nb, clean=clean)
+    d = jnp.real(jnp.diagonal(l))
+    bad = (~jnp.isfinite(d)) | (d <= 0)
+    info = jnp.where(jnp.any(bad), jnp.argmax(bad) + 1, 0).astype(jnp.int32)
+    return l, info
+
+
 @functools.partial(jax.jit, static_argnames=("side", "uplo", "trans", "diag", "nb"))
 def trsm(a, b, side: str = "L", uplo: str = "L", trans: str = "N",
          diag: str = "N", alpha=1.0, nb: int | None = None):

@@ -163,11 +163,28 @@ def dlaf_cholesky_factorization(ctx: int, uplo: str, a, desc: DLAF_descriptor):
     return _run_cholesky(ctx, uplo, a, desc)
 
 
+def _as_lower(a, uplo: str):
+    """Stored-``uplo`` hermitian -> full matrix whose lower triangle is valid
+    (the distributed drivers read the lower triangle)."""
+    a = np.asarray(a)
+    if uplo == "U":
+        return np.triu(a).conj().T + np.triu(a, 1)
+    return a
+
+
 def dlaf_symmetric_eigensolver(ctx: int, uplo: str, a, desc: DLAF_descriptor):
-    """reference ``dlaf_symmetric_eigensolver_{s,d}``: returns (w, z)."""
-    import dlaf_tpu as dt
-    w, z = dt.eigh(jnp.asarray(a), uplo=uplo)
-    return np.asarray(w), np.asarray(z)
+    """reference ``dlaf_symmetric_eigensolver_{s,d}``: returns (w, z).
+
+    Routes through the registered grid context and the DISTRIBUTED driver
+    (reference ``src/c_api/eigensolver/eigensolver.cpp`` always builds the
+    Matrix on the ctx grid), unlike round 1's local shortcut.
+    """
+    from ..algos.eigensolver.dist_driver import eigh_dist
+    from ..matrix.dist_matrix import DistMatrix
+    grid = dlaf_get_grid(ctx)
+    dm = DistMatrix.from_global(jnp.asarray(_as_lower(a, uplo)), desc.mb, grid)
+    w, v = eigh_dist(dm)
+    return np.asarray(w), np.asarray(v.to_global())
 
 
 def dlaf_hermitian_eigensolver(ctx, uplo, a, desc):
@@ -177,22 +194,48 @@ def dlaf_hermitian_eigensolver(ctx, uplo, a, desc):
 def dlaf_symmetric_generalized_eigensolver(ctx: int, uplo: str, a, b,
                                            desc: DLAF_descriptor,
                                            factorized: bool = False):
-    """reference ``dlaf_symmetric_generalized_eigensolver[_factorized]_{s,d}``."""
-    import dlaf_tpu as dt
-    w, x = dt.eigh_gen(jnp.asarray(a), jnp.asarray(b), uplo=uplo,
-                       factorized=factorized)
-    return np.asarray(w), np.asarray(x)
+    """reference ``dlaf_symmetric_generalized_eigensolver[_factorized]_{s,d}``,
+    routed through the ctx grid and the distributed driver chain
+    (``src/c_api/eigensolver/gen_eigensolver.cpp:1-148``)."""
+    from ..algos.eigensolver.dist_driver import eigh_gen_dist
+    from ..matrix.dist_matrix import DistMatrix
+    grid = dlaf_get_grid(ctx)
+    da = DistMatrix.from_global(jnp.asarray(_as_lower(a, uplo)), desc.mb, grid)
+    if factorized:
+        bl = np.asarray(b) if uplo == "L" else np.asarray(b).conj().T
+        db = DistMatrix.from_global(jnp.asarray(bl), desc.mb, grid,
+                                    pad_identity=True)
+        w, x = eigh_gen_dist(da, db, b_factorized=True)
+    else:
+        db = DistMatrix.from_global(jnp.asarray(_as_lower(b, uplo)), desc.mb,
+                                    grid, pad_identity=True)
+        w, x = eigh_gen_dist(da, db)
+    return np.asarray(w), np.asarray(x.to_global())
 
 
 # ScaLAPACK-style aliases (reference dlaf_pspotrf/pdpotrf/pssyevd/...)
 
 def _scalapack_entry(fn, dtype):
     def wrapper(uplo, n, a, ia, ja, desca, ctx, **kw):
-        assert ia == 1 and ja == 1, "sub-matrix offsets not supported yet"
         desc = DLAF_descriptor.from_scalapack(desca) \
             if not isinstance(desca, DLAF_descriptor) else desca
         a = np.asarray(a, dtype)
-        return fn(ctx, uplo, a, desc, **kw)
+        i0, j0 = ia - 1, ja - 1
+        if i0 == 0 and j0 == 0 and n == desc.m:
+            return fn(ctx, uplo, a, desc, **kw)
+        # tile-aligned sub-matrix offsets (reference DLAF_descriptor i/j,
+        # include/dlaf_c/desc.h:16): operate on the (n, n) block at (i0, j0)
+        assert i0 % desc.mb == 0 and j0 % desc.nb == 0, \
+            "ia/ja must be tile-aligned (reference requires block alignment)"
+        assert i0 + n <= desc.m and j0 + n <= desc.n
+        sub = np.ascontiguousarray(a[i0:i0 + n, j0:j0 + n])
+        subdesc = dataclasses.replace(desc, m=n, n=n, i=i0, j=j0)
+        out = fn(ctx, uplo, sub, subdesc, **kw)
+        if isinstance(out, np.ndarray) and out.shape == (n, n):
+            full = a.copy()
+            full[i0:i0 + n, j0:j0 + n] = out
+            return full
+        return out
     return wrapper
 
 

@@ -10,6 +10,7 @@ a dense array and XLA orders all accesses by dataflow.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -50,13 +51,25 @@ class DistMatrix:
         m, n = self.dist.size
         return full[:m, :n]
 
+    def diagonal(self) -> jax.Array:
+        """Replicated (min(m, n),) diagonal, extracted device-side with one
+        masked pass per shard + psum (no host gather)."""
+        nb = self.dist.block_size[0]
+        pm = self.dist.padded_size[0]
+        d = _dist_diagonal(self.data, nb=nb, pm=pm, mesh=self.grid.mesh)
+        return d[: min(self.dist.size)]
+
     def transpose(self, conj: bool = True) -> "DistMatrix":
-        """Distributed (conjugate) transpose.
+        """Distributed (conjugate) transpose, fully device-resident.
 
         On square grids this is a pure axis swap of the canonical layout
         (shard (p,q) -> (q,p), local shards transposed) — XLA lowers the
-        resharding to a collective permute over ICI. Non-square grids fall
-        back to gather/rescatter on the host.
+        resharding to a collective permute over ICI. Non-square grids run a
+        jitted global-view relayout (gather_from_shards -> T ->
+        scatter_to_shards under a canonical sharding constraint): GSPMD
+        inserts the redistribution collectives; no host round-trip
+        (reference analog: the transposed-Panel + all-to-all machinery,
+        ``matrix/panel.h:483``, ``permutations/general/impl.h:230-303``).
         """
         from ..dist import Distribution
 
@@ -70,10 +83,18 @@ class DistMatrix:
                 data = jnp.conj(data)
             data = jax.device_put(data, self.grid.canonical_sharding())
             return DistMatrix(data, newdist, self.grid)
-        g = self.to_global()
-        g = g.conj().T if conj else g.T
-        return DistMatrix.from_global(jnp.asarray(g), self.dist.block_size[1],
-                                      self.grid)
+        newdist = Distribution((n, m), self.dist.block_size[::-1],
+                               self.grid.grid_size)
+        data = _transpose_global(self.data, dist=self.dist, newdist=newdist,
+                                 conj=conj, sharding=self.grid.canonical_sharding())
+        return DistMatrix(data, newdist, self.grid)
+
+    def symmetrize(self, lower: bool = True) -> "DistMatrix":
+        """Fill the other triangle from the stored one, device-resident
+        (A <- tril(A) + tril(A,-1)^H for ``lower``)."""
+        data = _symmetrize_global(self.data, dist=self.dist, lower=lower,
+                                  sharding=self.grid.canonical_sharding())
+        return DistMatrix(data, self.dist, self.grid)
 
     def src_rank_t(self):
         return (self.dist.src_rank[1] % self.grid.grid_size[0],
@@ -86,6 +107,65 @@ class DistMatrix:
     @property
     def local_shape(self):
         return self.data.shape[-2:]
+
+
+@functools.partial(jax.jit, static_argnames=("dist", "newdist", "conj", "sharding"))
+def _transpose_global(data, *, dist, newdist, conj, sharding):
+    from ..dist import gather_from_shards, scatter_to_shards
+    g = gather_from_shards(data, dist)
+    m, n = dist.size
+    gt = g[:m, :n].conj().T if conj else g[:m, :n].T
+    pm2, pn2 = newdist.padded_size
+    gt = jnp.pad(gt, ((0, pm2 - n), (0, pn2 - m)))
+    return jax.lax.with_sharding_constraint(scatter_to_shards(gt, newdist),
+                                            sharding)
+
+
+@functools.partial(jax.jit, static_argnames=("dist", "lower", "sharding"))
+def _symmetrize_global(data, *, dist, lower, sharding):
+    from ..dist import gather_from_shards, scatter_to_shards
+    from ..ops.core import symmetrize_tri
+    g = gather_from_shards(data, dist)
+    m, n = dist.size
+    full = symmetrize_tri(g[:m, :n], lower)
+    pm, pn = dist.padded_size
+    full = jnp.pad(full, ((0, pm - m), (0, pn - n)))
+    return jax.lax.with_sharding_constraint(scatter_to_shards(full, dist),
+                                            sharding)
+
+
+def _diag_shardfn(a4, *, nb, pm):
+    import jax.numpy as jnp
+    from jax import lax
+    from ..comm.mesh import COL_AXIS, ROW_AXIS
+    a = a4[0, 0]
+    p = lax.axis_index(ROW_AXIS)
+    q = lax.axis_index(COL_AXIS)
+    Pn = lax.axis_size(ROW_AXIS)
+    Qn = lax.axis_size(COL_AXIS)
+    lm, ln = a.shape
+    grow = (jnp.arange(lm // nb) * Pn + p).repeat(nb) * nb + \
+        jnp.tile(jnp.arange(nb), lm // nb)
+    gcol = (jnp.arange(ln // nb) * Qn + q).repeat(nb) * nb + \
+        jnp.tile(jnp.arange(nb), ln // nb)
+    eq = grow[:, None] == gcol[None, :]
+    loc = jnp.sum(jnp.where(eq, a, 0), axis=1)
+    owned = jnp.any(eq, axis=1)
+    out = jnp.zeros((pm,), a.dtype)
+    out = out.at[jnp.minimum(grow, pm - 1)].add(
+        jnp.where(owned & (grow < pm), loc, 0))
+    return lax.psum(lax.psum(out, ROW_AXIS), COL_AXIS)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "pm", "mesh"))
+def _dist_diagonal(data, *, nb, pm, mesh):
+    from jax.sharding import PartitionSpec as P
+    from ..comm.mesh import COL_AXIS, ROW_AXIS
+    fn = jax.shard_map(
+        functools.partial(_diag_shardfn, nb=nb, pm=pm),
+        mesh=mesh, in_specs=(P(ROW_AXIS, COL_AXIS, None, None),),
+        out_specs=P())
+    return fn(data)
 
 
 jax.tree_util.register_pytree_node(

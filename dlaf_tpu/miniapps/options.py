@@ -26,19 +26,50 @@ def parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--nruns", type=int, default=3)
     p.add_argument("--nwarmups", type=int, default=1)
     p.add_argument("--check", action="store_true")
-    p.add_argument("--type", choices=["s", "d"], default="s",
-                   help="s=float32, d=float64")
+    p.add_argument("--type", choices=["s", "d", "c", "z"], default="s",
+                   help="s=float32, d=float64, c=complex64, z=complex128 "
+                        "(reference dispatch.h:17-60 dispatches all four)")
     p.add_argument("--uplo", choices=["L", "U"], default="L")
     p.add_argument("--band-size", type=int, default=None)
     p.add_argument("--csv", action="store_true", default=True)
     return p
 
 
+def _ensure_platform(args):
+    """Honor JAX_PLATFORMS=cpu + --xla_force_host_platform_device_count even
+    when the environment's sitecustomize pre-imported jax with the TPU
+    platform: the config knobs still work until a backend is live, the env
+    vars alone do not."""
+    import os
+    import re
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() != "cpu":
+        return
+    m = re.search(r"--xla_force_host_platform_device_count=(\d+)",
+                  os.environ.get("XLA_FLAGS", ""))
+    count = int(m.group(1)) if m else 1
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices",
+                          max(count, args.grid_rows * args.grid_cols))
+    except RuntimeError:
+        pass  # backend already live
+
+
 def dtype_of(args):
-    if args.type == "d":
+    _ensure_platform(args)
+    if args.type in ("d", "z"):
         jax.config.update("jax_enable_x64", True)
-        return jnp.float64
-    return jnp.float32
+    return {"s": jnp.float32, "d": jnp.float64,
+            "c": jnp.complex64, "z": jnp.complex128}[args.type]
+
+
+def grid_of(args):
+    """Device grid when --grid-rows/cols request a distributed run, else
+    None (reference miniapps dispatch local vs distributed on the grid)."""
+    if args.grid_rows * args.grid_cols > 1:
+        from ..comm.mesh import Grid
+        return Grid((args.grid_rows, args.grid_cols))
+    return None
 
 
 def sync(x):
@@ -52,6 +83,8 @@ def sync(x):
 def run_timed(args, fn, flop_count, extra=(), check_fn=None):
     """Warmups + timed runs; prints per-run line + CSVData-2 row."""
     backend = jax.default_backend()
+    assert args.nwarmups + args.nruns >= 1, "need at least one run"
+    out = None
     for r in range(args.nwarmups + args.nruns):
         t0 = time.perf_counter()
         out = fn()

@@ -46,8 +46,11 @@ def main():
             for (pr, pc) in MESHES:
                 if args.mode == "weak":
                     import math
-                    n = base_n * math.isqrt(pr * pc)
-                    n = ((n + args.block_size - 1) // args.block_size) * args.block_size
+                    # scale n by sqrt(devices) so memory/device is constant
+                    # (reference gen_dlaf_weak-gpu.py:25-41), rounded to the
+                    # block size; isqrt would floor sqrt(8) to 2
+                    n = base_n * math.sqrt(pr * pc)
+                    n = int((n + args.block_size - 1) // args.block_size) * args.block_size
                 else:
                     n = base_n
                 print(f"python -m dlaf_tpu.miniapps.{mod} -n {n} "

@@ -71,6 +71,63 @@ def test_pdsyevd():
         sl.dlaf_free_grid(ctx)
 
 
+def test_pdsyevd_routes_through_grid():
+    """The eigensolver entry must solve DISTRIBUTED through the ctx grid
+    (reference src/c_api/eigensolver/eigensolver.cpp builds the Matrix on
+    the registered grid)."""
+    n = 48
+    a = np.asarray(gen.random_hermitian(jax.random.PRNGKey(2), n, np.float64))
+    ctx = sl.dlaf_create_grid(2, 3)
+    import dlaf_tpu
+    dlaf_tpu.set_tune_parameters(eigensolver_min_band=8, default_block_size=16)
+    try:
+        desc = sl.DLAF_descriptor(m=n, n=n, mb=16, nb=16)
+        w, z = sl.dlaf_pdsyevd("L", n, a, 1, 1, desc, ctx)
+        np.testing.assert_allclose(a @ z, z * w[None, :], atol=1e-9)
+        np.testing.assert_allclose(z.T @ z, np.eye(n), atol=1e-9)
+    finally:
+        dlaf_tpu.tune.reset_tune_parameters()
+        sl.dlaf_free_grid(ctx)
+
+
+def test_pdsygvd_grid():
+    n = 48
+    a = np.asarray(gen.random_hermitian(jax.random.PRNGKey(3), n, np.float64))
+    b = np.asarray(gen.random_hermitian_positive_definite(
+        jax.random.PRNGKey(4), n, np.float64))
+    ctx = sl.dlaf_create_grid(2, 2)
+    import dlaf_tpu
+    dlaf_tpu.set_tune_parameters(eigensolver_min_band=8, default_block_size=16)
+    try:
+        desc = sl.DLAF_descriptor(m=n, n=n, mb=16, nb=16)
+        w, x = sl.dlaf_pdsygvd("L", n, a, b, 1, 1, desc, ctx)
+        np.testing.assert_allclose(a @ x, b @ x * w[None, :], atol=1e-8)
+    finally:
+        dlaf_tpu.tune.reset_tune_parameters()
+        sl.dlaf_free_grid(ctx)
+
+
+def test_pdpotrf_submatrix_offset():
+    """Tile-aligned ia/ja sub-matrix offsets (reference DLAF_descriptor i/j,
+    include/dlaf_c/desc.h:16)."""
+    m, nsub, nb = 64, 32, 8
+    rng = np.random.default_rng(5)
+    full = rng.standard_normal((m, m))
+    spd = np.eye(nsub) * nsub + 0.1 * np.ones((nsub, nsub))
+    i0 = j0 = 16  # tile-aligned offset
+    full[i0:i0 + nsub, j0:j0 + nsub] = spd
+    ctx = sl.dlaf_create_grid(2, 2)
+    desc = sl.DLAF_descriptor(m=m, n=m, mb=nb, nb=nb)
+    out = sl.dlaf_pdpotrf("L", nsub, full, i0 + 1, j0 + 1, desc, ctx)
+    l = np.tril(out[i0:i0 + nsub, j0:j0 + nsub])
+    np.testing.assert_allclose(l @ l.T, spd, atol=1e-10)
+    # the rest of the matrix is untouched
+    mask = np.ones((m, m), bool)
+    mask[i0:i0 + nsub, j0:j0 + nsub] = False
+    np.testing.assert_array_equal(out[mask], full[mask])
+    sl.dlaf_free_grid(ctx)
+
+
 def test_matrix_file(tmp_path):
     f = MatrixFile(str(tmp_path / "dump"))
     a = np.random.default_rng(0).standard_normal((8, 8))

@@ -1,0 +1,86 @@
+"""DistMatrix device-resident methods: diagonal, transpose (non-square
+grids), symmetrize — plus the distributed Cholesky info channel.
+
+Reference analogs: ``matrix/matrix.h`` views/copy, ``tile::potrfInfo``
+(``lapack/tile.h:615-616``).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dlaf_tpu.comm.mesh import Grid
+from dlaf_tpu.matrix import generators as gen
+from dlaf_tpu.matrix.dist_matrix import DistMatrix
+
+
+@pytest.mark.parametrize("grid_size", [(2, 4), (1, 8), (2, 2)])
+def test_diagonal(grid_size, dtype):
+    n, nb = 72, 16
+    g = Grid(grid_size)
+    a = gen.random_hermitian(jax.random.PRNGKey(0), n, dtype)
+    dm = DistMatrix.from_global(a, nb, g)
+    d = dm.diagonal()
+    np.testing.assert_allclose(np.asarray(d), np.diagonal(np.asarray(a)))
+
+
+@pytest.mark.parametrize("grid_size", [(2, 4), (4, 2), (1, 8)])
+@pytest.mark.parametrize("conj", [True, False])
+def test_transpose_nonsquare_device(grid_size, conj, dtype):
+    m, n, nb = 80, 48, 16
+    g = Grid(grid_size)
+    a = gen.random_general(jax.random.PRNGKey(1), (m, n), dtype)
+    dm = DistMatrix.from_global(a, nb, g)
+    t = dm.transpose(conj=conj)
+    an = np.asarray(a)
+    ref = an.conj().T if conj else an.T
+    assert t.dist.size == (n, m)
+    np.testing.assert_allclose(np.asarray(t.to_global()), ref)
+
+
+@pytest.mark.parametrize("lower", [True, False])
+def test_symmetrize(lower, dtype):
+    n, nb = 64, 16
+    g = Grid((2, 4))
+    a = gen.random_general(jax.random.PRNGKey(2), (n, n), dtype)
+    dm = DistMatrix.from_global(a, nb, g)
+    s = np.asarray(dm.symmetrize(lower=lower).to_global())
+    an = np.asarray(a)
+    if lower:
+        ref = np.tril(an) + np.tril(an, -1).conj().T
+    else:
+        ref = np.triu(an) + np.triu(an, 1).conj().T
+    np.testing.assert_allclose(s, ref)
+
+
+def test_cholesky_info(real_dtype_p):
+    from dlaf_tpu.algos.cholesky import cholesky_info
+    n, nb = 64, 16
+    g = Grid((2, 4))
+    a = gen.random_hermitian_positive_definite(jax.random.PRNGKey(3), n,
+                                               real_dtype_p)
+    dm = DistMatrix.from_global(a, nb, g, pad_identity=True)
+    out, info = cholesky_info(dm)
+    assert int(info) == 0
+    l = np.tril(np.asarray(out.to_global()))
+    np.testing.assert_allclose(l @ l.T, np.asarray(a), atol=1e-4 * n)
+
+    bad = np.asarray(a).copy()
+    bad[33, 33] = -100.0  # non-SPD pivot inside tile 2 (rows 32..47)
+    dmb = DistMatrix.from_global(jnp.asarray(bad), nb, g, pad_identity=True)
+    _, info_bad = cholesky_info(dmb)
+    # info points into the failing tile (tile-granular, like potrfInfo)
+    assert 32 < int(info_bad) <= 48
+
+
+def test_potrf_info_local(real_dtype_p):
+    import dlaf_tpu as dt
+    n = 96
+    a = gen.random_hermitian_positive_definite(jax.random.PRNGKey(4), n,
+                                               real_dtype_p)
+    _, info = dt.potrf_info(a, nb=32)
+    assert int(info) == 0
+    bad = np.asarray(a).copy()
+    bad[70, 70] = -50.0
+    _, info_bad = dt.potrf_info(jnp.asarray(bad), nb=32)
+    assert 64 < int(info_bad) <= 96
