@@ -14,8 +14,14 @@ tiles, but expressed as one SPMD program over a 2-D device mesh:
 
 The reference's look-ahead/round-robin-workspace machinery is unnecessary:
 XLA overlaps the collectives of step k+1 with the trailing GEMM of step k by
-dataflow. Static shapes are kept by masking with global row/col indices
-instead of shrinking the trailing window.
+dataflow. Static shapes are kept by masking with global row/col indices.
+
+Work-optimal trailing updates (reference touches only trailing tiles,
+``factorization/cholesky/impl.h:273-300``): the k-loop is split into a small
+static number of buckets; within a bucket every step operates on a
+statically-sliced trailing window of the local shard, so the per-step GEMM
+cost shrinks proportionally to the trailing size (within the bucket
+granularity) while every shape stays static for XLA.
 """
 from __future__ import annotations
 
@@ -33,9 +39,26 @@ from ..ops import blocked
 from ..ops.core import ct, matmul_precision
 from ..tune import get_tune_parameters
 
+N_WINDOW_BUCKETS = 8
 
-def _local_potrf_step(a, kt, *, nb, leaf_nb, glob_row, glob_col, row_tile, col_tile):
-    """One k-step on the local shard ``a`` (lm, ln)."""
+
+def window_buckets(nrt: int, Pn: int, Qn: int, nwin: int = N_WINDOW_BUCKETS):
+    """Static k-loop buckets [(k0, k1, offr, offc)]: for every k in
+    [k0, k1), all tiles at global index >= k are inside the local window
+    starting at local tile (offr, offc) on every rank."""
+    edges = sorted({min(round(i * nrt / nwin), nrt) for i in range(nwin + 1)})
+    buckets = []
+    for k0, k1 in zip(edges[:-1], edges[1:]):
+        offr = max(0, -(-(k0 - Pn + 1) // Pn))
+        offc = max(0, -(-(k0 - Qn + 1) // Qn))
+        buckets.append((k0, k1, offr, offc))
+    return buckets
+
+
+def _local_potrf_step(a, kt, *, nb, leaf_nb, offr, offc, glob_row, glob_col,
+                      row_tile, col_tile):
+    """One k-step on the trailing window ``a`` (the local shard sliced from
+    local tile (offr, offc)); index arrays are pre-sliced to the window."""
     p = lax.axis_index(ROW_AXIS)
     q = lax.axis_index(COL_AXIS)
     Pn = lax.axis_size(ROW_AXIS)
@@ -44,8 +67,8 @@ def _local_potrf_step(a, kt, *, nb, leaf_nb, glob_row, glob_col, row_tile, col_t
 
     owner_p = kt % Pn
     owner_q = kt % Qn
-    lk_r = kt // Pn
-    lk_c = kt // Qn
+    lk_r = kt // Pn - offr
+    lk_c = kt // Qn - offc
 
     # 1. factor the diagonal tile and broadcast it (non-owners compute junk
     #    that the masked psum discards)
@@ -75,16 +98,18 @@ def _local_potrf_step(a, kt, *, nb, leaf_nb, glob_row, glob_col, row_tile, col_t
                    owner_q, COL_AXIS)
 
     # 4. transposed panel: every rank needs L(j, kt) for its local col tiles.
-    #    all_gather over the row axis then gather the owned rows.
+    #    all_gather over the row axis then gather the owned rows. Window row
+    #    index t maps to global tile t + offr * P.
     wall = lax.all_gather(w, ROW_AXIS)                   # (P, lm, nb)
     lmt = lm // nb
     wg = wall.reshape(Pn, lmt, nb, nb).transpose(1, 0, 2, 3).reshape(Pn * lmt, nb, nb)
-    # invariant: on non-square grids ceil(nrt/Q)*Q can exceed wg's extent
-    # Pn*lmt; jnp.take's clamp ('clip') gather semantics then return the last
-    # row-tile, but only for col_tile entries that index PADDING column tiles
-    # (global tile >= nrt), whose values are masked/ignored downstream — a
-    # layout change that breaks this must mask col_tile explicitly
-    wt = jnp.take(wg, col_tile, axis=0).reshape(ln, nb)  # row c -> L(gcol(c), kt)
+    # invariant: the take index can fall outside [0, Pn*lmt) for col_tile
+    # entries that are PADDING column tiles (global tile >= nrt) or non-
+    # trailing tiles (<= kt, incl. below the window base offr*P); jnp.take's
+    # clamp ('clip') gather semantics return junk there, which the mask on
+    # the next line and the trailing tril mask discard — a layout change
+    # that breaks this must mask col_tile explicitly
+    wt = jnp.take(wg, col_tile - offr * Pn, axis=0).reshape(ln, nb)
     wt = jnp.where((col_tile.repeat(nb) > kt)[:, None], wt, jnp.zeros_like(wt))
 
     # 5. trailing update restricted to the global lower triangle
@@ -100,16 +125,23 @@ def _dist_potrf_shardfn(a4, *, nb, nrt, leaf_nb):
     Pn = lax.axis_size(ROW_AXIS)
     Qn = lax.axis_size(COL_AXIS)
     lm, ln = a.shape
-    row_tile = (jnp.arange(lm // nb) * Pn + p)
-    col_tile = (jnp.arange(ln // nb) * Qn + q)
-    glob_row = row_tile.repeat(nb) * nb + jnp.tile(jnp.arange(nb), lm // nb)
-    glob_col = col_tile.repeat(nb) * nb + jnp.tile(jnp.arange(nb), ln // nb)
+    lmt, lnt = lm // nb, ln // nb
+    row_tile = (jnp.arange(lmt) * Pn + p)
+    col_tile = (jnp.arange(lnt) * Qn + q)
     row_tile_el = row_tile.repeat(nb)
+    glob_row = row_tile_el * nb + jnp.tile(jnp.arange(nb), lmt)
+    glob_col = col_tile.repeat(nb) * nb + jnp.tile(jnp.arange(nb), lnt)
 
-    step = functools.partial(_local_potrf_step, nb=nb, leaf_nb=leaf_nb,
-                             glob_row=glob_row, glob_col=glob_col,
-                             row_tile=row_tile_el, col_tile=col_tile)
-    a = lax.fori_loop(0, nrt, lambda k, x: step(x, k), a)
+    for k0, k1, offr, offc in window_buckets(nrt, Pn, Qn):
+        offr = min(offr, lmt - 1)
+        offc = min(offc, lnt - 1)
+        w = a[offr * nb:, offc * nb:]
+        step = functools.partial(
+            _local_potrf_step, nb=nb, leaf_nb=leaf_nb, offr=offr, offc=offc,
+            glob_row=glob_row[offr * nb:], glob_col=glob_col[offc * nb:],
+            row_tile=row_tile_el[offr * nb:], col_tile=col_tile[offc:])
+        w = lax.fori_loop(k0, k1, lambda k, x: step(x, k), w)
+        a = a.at[offr * nb:, offc * nb:].set(w)
     return a[None, None]
 
 

@@ -213,22 +213,33 @@ def band_to_tridiag_pipelined(band_dense, b: int, lane_chunk: int = 0):
 
 
 def band_to_tridiag_auto(band_dense, b: int):
-    """Kernel selection per tune.band_to_tridiag_kernel (see tune.py)."""
+    """Kernel selection per tune.band_to_tridiag_kernel (see tune.py).
+
+    "auto" picks the Pallas wavefront strip kernel on TPU for f32 (O(n*b)
+    memory, manual DMA windows — no gathers for the backend to fault on,
+    reference 1-D band re-distribution analog), the batched dense pipelined
+    kernel on CPU (fast for the test sizes), and the sequential strip kernel
+    otherwise (f64 emulation / complex, which Mosaic does not support).
+    """
     from ...tune import get_tune_parameters
+    from ...types import is_complex_dtype
     kind = get_tune_parameters().band_to_tridiag_kernel
+    n = band_dense.shape[0]
     if kind == "sequential":
         return band_to_tridiag(band_dense, b)
     if kind == "pipelined":
         return band_to_tridiag_pipelined(band_dense, b)
-    # auto: the axon TPU backend faults on the pipelined kernel's batched
-    # 2-D window gather/scatters once the padded matrix exceeds ~VMEM size
-    # (isolated repro: OK at padded 1796^2 = 12.9 MB, crash at 2820^2 =
-    # 31.8 MB, independent of lane count/chunking); fall back to the
-    # sequential dynamic-slice kernel there until stage 2 moves to a
-    # dedicated Pallas kernel
-    n = band_dense.shape[0]
-    pad_n = n + 2 * (3 * b + 2)
-    vmem_ok = pad_n * pad_n * band_dense.dtype.itemsize <= 12 * 1024 * 1024
-    if jax.default_backend() in ("tpu", "axon") and not vmem_ok:
-        return band_to_tridiag(band_dense, b)
+    if kind in ("strips", "pallas", "auto"):
+        if b == 1 or n <= 2:
+            return band_to_tridiag(band_dense, b)
+        from .band_strips import band_to_strips, band_to_tridiag_strips
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        f32 = band_dense.dtype == jnp.float32
+        if kind == "strips" or (on_tpu and not (f32 and b >= 8)):
+            strips = band_to_strips(band_dense, b)
+            return band_to_tridiag_strips(strips, n, b)
+        if kind == "pallas" or on_tpu:
+            from ...ops.pallas.band2tridiag import band_to_tridiag_strips_pallas
+            strips = band_to_strips(band_dense, b)
+            return band_to_tridiag_strips_pallas(strips, n, b)
     return band_to_tridiag_pipelined(band_dense, b)

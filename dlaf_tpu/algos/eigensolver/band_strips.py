@@ -1,0 +1,206 @@
+"""Banded 'strip' storage for stage 2 (band -> tridiagonal).
+
+The reference keeps stage 2 on a re-distributed 1-D *band* layout
+(``eigensolver/band_to_tridiag/mc.h:438-662``, ``get_1d_block_size.h:19-21``)
+precisely because the working set is O(n*b), not O(n^2). The TPU-native
+equivalent defined here is *strip storage*:
+
+    strips[s]  =  A[s*b : (s+1)*b,  (s-3)*b : (s+2)*b]      shape (b, 5b)
+
+i.e. one dense (b, 5b) slab per block-row holding every stored (lower,
+r >= c) entry of that block-row with room for the bulge (bandwidth grows to
+at most 2b-1 during chasing) plus alignment slack, zeros elsewhere. Total
+memory 5*n*b.
+
+Why this layout: every bulge-chase window becomes a handful of *scalar-start
+dynamic slices* (no gathers, no scatters with computed index vectors — the
+operations the TPU backend handles natively and Pallas can DMA directly):
+the chase at row i0 touches exactly
+
+    G = A[[i0, i0+2b) x [i0-b, i0+b)]
+
+which lives in strips s0..s0+2 (s0 = i0//b) at per-strip column offset
+(i0 mod b) + (2-g)*b, g = 0..2.
+
+Pieces of G (window coordinates, rows [i0, i0+2b), cols [i0-b, i0+b)):
+    CY = G[:b, :b]    rows I = [i0, i0+b), cols [i0-b, i0)   <- H @ CY
+    S  = G[:b, b:]    rows I, cols I (hermitian diag block)  <- H @ S @ H^H
+    B  = G[b:, b:]    rows [i0+b, i0+2b), cols I             <- B @ H^H
+with the eliminated column y = CY[:, b-1] (first chase of a sweep, j = i0-1)
+or CY[:, 0] (later chases, j = i0-b). All fill-in stays inside G: entries of
+columns I live in rows <= i0+2b-1 (bandwidth invariant <= 2b-1).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ...ops.core import ct, matmul_precision
+from ...ops.householder import householder_vector
+from ...types import is_complex_dtype
+
+STRIP_W = 5  # strip width in units of b: cols [(s-3)*b, (s+2)*b)
+COL_BASE = 3  # strip-local column of the diagonal element of its first row
+
+
+def n_strips(n: int, b: int) -> int:
+    """Strip count incl. padding so every chase window is in-bounds."""
+    return -(-n // b) + 3
+
+
+def band_to_strips(band_dense, b: int):
+    """(n, n) dense symmetric band matrix -> strip storage.
+
+    Only the lower triangle within the band is read.
+    """
+    n = band_dense.shape[0]
+    ns = n_strips(n, b)
+    dt_ = band_dense.dtype
+    rows = jnp.arange(n)
+    lower = jnp.where((rows[:, None] >= rows[None, :]), band_dense, 0)
+    # pad rows to ns*b, cols by 3b on the left / enough on the right
+    ap = jnp.zeros((ns * b, 3 * b + ns * b + 2 * b), dt_)
+    ap = lax.dynamic_update_slice(ap, lower, (0, 3 * b))
+
+    def body(s, out):
+        blk = lax.dynamic_slice(ap, (s * b, s * b), (b, STRIP_W * b))
+        return lax.dynamic_update_slice(out, blk[None], (s, 0, 0))
+
+    return lax.fori_loop(0, ns, body, jnp.zeros((ns, b, STRIP_W * b), dt_))
+
+
+def packed_to_strips(a_packed, band: int, nb: int | None = None):
+    """Strip storage directly from the stage-1 packed output (band in the
+    banded lower triangle of ``a_packed``; reflectors strictly below are
+    masked away). O(n*b) output without materializing a dense band matrix.
+    """
+    n = a_packed.shape[0]
+    b = band
+    ns = n_strips(n, b)
+    dt_ = a_packed.dtype
+    ap = jnp.zeros((ns * b, 3 * b + ns * b + 2 * b), dt_)
+    ap = lax.dynamic_update_slice(ap, a_packed, (0, 3 * b))
+
+    def body(s, out):
+        blk = lax.dynamic_slice(ap, (s * b, s * b), (b, STRIP_W * b))
+        # keep only the band: global (r, c) with 0 <= r - c <= b
+        r = s * b + jnp.arange(b)[:, None]
+        c = (s - COL_BASE) * b + jnp.arange(STRIP_W * b)[None, :]
+        blk = jnp.where((r >= c) & (r - c <= b), blk, 0)
+        return lax.dynamic_update_slice(out, blk[None], (s, 0, 0))
+
+    return lax.fori_loop(0, ns, body, jnp.zeros((ns, b, STRIP_W * b), dt_))
+
+
+def strips_extract_tridiag(strips, n: int, b: int):
+    """(d, e) of the tridiagonal matrix left in strip storage."""
+    ns = strips.shape[0]
+    i = jnp.arange(b)
+    dfull = strips[:, i, i + COL_BASE * b].reshape(ns * b)       # A[r, r]
+    efull = strips[:, i, i + COL_BASE * b - 1].reshape(ns * b)   # A[r, r-1]
+    return jnp.real(dfull[:n]), efull[1:n]
+
+
+def _chase_window(strips, i0, b: int):
+    """Gather the (2b, 2b) window G at reflector row i0 plus the raw 3-strip
+    slab (for the write-back) and the slab row offset."""
+    s0 = i0 // b
+    im = i0 - s0 * b
+    blks = [lax.dynamic_slice(strips, (s0 + g, 0, im + (2 - g) * b),
+                              (1, b, 2 * b))[0] for g in range(3)]
+    s3 = jnp.concatenate(blks, axis=0)          # (3b, 2b): rows [s0*b, s0*b+3b)
+    g_ = lax.dynamic_slice(s3, (im, 0), (2 * b, 2 * b))
+    return g_, s3, im
+
+
+def _chase_scatter(strips, g_new, s3, im, i0, b: int):
+    """Write the updated window back into strip storage."""
+    s0 = i0 // b
+    s3 = lax.dynamic_update_slice(s3, g_new, (im, 0))
+    for g in range(3):
+        strips = lax.dynamic_update_slice(
+            strips, s3[g * b:(g + 1) * b][None],
+            (s0 + g, 0, im + (2 - g) * b))
+    return strips
+
+
+def chase_math(g_, first: bool, b: int):
+    """One bulge-chase on the dense window ``g_`` (2b, 2b).
+
+    Returns (g_new, v, tau). ``first`` selects the eliminated column
+    (j = i0-1 for the first chase of a sweep, j = i0-b afterwards).
+    """
+    dt_ = g_.dtype
+    conj = (lambda x: jnp.conj(x)) if is_complex_dtype(dt_) else (lambda x: x)
+    y_col = b - 1 if first else 0
+    y = g_[:b, y_col]
+    v, tau, beta = householder_vector(y, 0)
+
+    cy = g_[:b, :b]
+    s_ = g_[:b, b:]
+    b_ = g_[b:, b:]
+    s_full = s_ + ct(jnp.tril(s_, -1))
+
+    vh_cy = jnp.matmul(conj(v)[None, :], cy, precision=matmul_precision())
+    cy = cy - tau * v[:, None] * vh_cy
+    # eliminated column: beta at the head, zeros below (LAPACK larfg exact)
+    ycol_mask = jnp.arange(b)[None, :] == y_col
+    newy = jnp.where(jnp.arange(b) == 0, beta, 0).astype(dt_)
+    cy = jnp.where(ycol_mask, newy[:, None], cy)
+
+    vh_s = jnp.matmul(conj(v)[None, :], s_full, precision=matmul_precision())
+    s1 = s_full - tau * v[:, None] * vh_s
+    s1v = jnp.matmul(s1, v[:, None], precision=matmul_precision())
+    s2 = s1 - conj(tau) * s1v * conj(v)[None, :]
+
+    bv = jnp.matmul(b_, v[:, None], precision=matmul_precision())
+    b2 = b_ - conj(tau) * bv * conj(v)[None, :]
+
+    g_new = jnp.concatenate([
+        jnp.concatenate([cy, jnp.tril(s2)], axis=1),
+        jnp.concatenate([g_[b:, :b], b2], axis=1)], axis=0)
+    return g_new, v, tau
+
+
+@functools.partial(jax.jit, static_argnames=("n", "b"))
+def band_to_tridiag_strips(strips, n: int, b: int):
+    """Sequential bulge chasing on strip storage.
+
+    Same sweep/chase schedule and recorded-reflector layout as the dense
+    kernel (see :mod:`band2tridiag`): returns (d, e, vs, taus) with
+    vs (nsweeps, ncmax, b), taus (nsweeps, ncmax); the chase-c reflector of
+    sweep s acts on rows [s + 1 + c*b, s + 1 + (c+1)*b).
+    """
+    dt_ = strips.dtype
+    nsweeps = n - 2
+    ncmax = -(-(n - 1) // b)
+    vs0 = jnp.zeros((nsweeps, ncmax, b), dt_)
+    taus0 = jnp.zeros((nsweeps, ncmax), dt_)
+
+    def chase(c, carry):
+        s, strips, vs, taus = carry
+        i0 = s + 1 + c * b
+        g_, s3, im = _chase_window(strips, i0, b)
+        g0, v0, tau0 = chase_math(g_, first=True, b=b)
+        g1, v1, tau1 = chase_math(g_, first=False, b=b)
+        isfirst = c == 0
+        g_new = jnp.where(isfirst, g0, g1)
+        v = jnp.where(isfirst, v0, v1)
+        tau = jnp.where(isfirst, tau0, tau1)
+        strips = _chase_scatter(strips, g_new, s3, im, i0, b)
+        vs = lax.dynamic_update_slice(vs, v[None, None, :], (s, c, 0))
+        taus = lax.dynamic_update_slice(taus, tau[None, None], (s, c))
+        return s, strips, vs, taus
+
+    def sweep(s, carry):
+        strips, vs, taus = carry
+        nc = jnp.maximum(0, -(-(n - 1 - s) // b))
+        _, strips, vs, taus = lax.fori_loop(0, nc, chase, (s, strips, vs, taus))
+        return strips, vs, taus
+
+    strips, vs, taus = lax.fori_loop(0, nsweeps, sweep, (strips, vs0, taus0))
+    d, e = strips_extract_tridiag(strips, n, b)
+    return d, e, vs, taus

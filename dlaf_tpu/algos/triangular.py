@@ -29,9 +29,9 @@ from ..tune import get_tune_parameters
 from ..types import is_complex_dtype
 
 
-def _mult_panel(a, kt, *, nb, trans, lmt_b, row_tile_b):
-    """Gather op(A)(i, kt) for every local B row tile i of this rank ->
-    (lm_b, nb) panel (zero where masked later)."""
+def _mult_panel(a, kt, *, nb, trans, lmt_b, row_tile_b, offr=0):
+    """Gather op(A)(i, kt) for the B row-tile window [offr, offr + lmt_b) of
+    this rank -> (lmt_b * nb, nb) panel (zero where masked later)."""
     p = lax.axis_index(ROW_AXIS)
     q = lax.axis_index(COL_AXIS)
     Pn = lax.axis_size(ROW_AXIS)
@@ -44,8 +44,8 @@ def _mult_panel(a, kt, *, nb, trans, lmt_b, row_tile_b):
         col = coll.bcast(jnp.where(q == (kt % Qn), col, jnp.zeros_like(col)),
                          kt % Qn, COL_AXIS)
         # rows of `col` are already this rank's local row tiles (A and B share
-        # the row distribution)
-        return col
+        # the row distribution); slice to the window
+        return col[offr * nb:offr * nb + lmt_b * nb]
     # op(A)(i, kt) = op of A(kt, i): row kt of A, on grid row kt % P;
     # broadcast along 'r', then redistribute row->col via all_gather over 'c'
     lk_r = kt // Pn
@@ -66,21 +66,26 @@ def _mult_panel(a, kt, *, nb, trans, lmt_b, row_tile_b):
     return tiles.transpose(0, 2, 1).reshape(lmt_b * nb, nb)
 
 
-def _trsm_step(carry, kt, *, nb, leaf_nb, lower, trans, unit, forward, row_tile_el_b):
+def _trsm_step(carry, kt, *, nb, leaf_nb, lower, trans, unit, forward, offr,
+               row_tile_el_b):
+    """One step on the B row window starting at local tile ``offr`` (forward
+    solves shrink the window from the top; backward windows are sliced at the
+    caller as b[:end] with offr == 0)."""
     a, b = carry
     p = lax.axis_index(ROW_AXIS)
     Pn = lax.axis_size(ROW_AXIS)
     Qn = lax.axis_size(COL_AXIS)
     lmt_b = b.shape[0] // nb
-    row_tile_b = jnp.arange(lmt_b) * Pn + p
+    row_tile_b = (jnp.arange(lmt_b) + offr) * Pn + p
 
     owner_p = kt % Pn
     owner_q = kt % Qn
-    lk_r = kt // Pn
+    lk_r_a = kt // Pn                      # a is the full local shard
+    lk_r = kt // Pn - (offr if forward else 0)   # b is the row window
     lk_c = kt // Qn
 
     # diag tile of A
-    tile = lax.dynamic_slice(a, (lk_r * nb, lk_c * nb), (nb, nb))
+    tile = lax.dynamic_slice(a, (lk_r_a * nb, lk_c * nb), (nb, nb))
     akk = coll.bcast2d(tile, (owner_p, owner_q), (ROW_AXIS, COL_AXIS))
 
     # solve the B row slab on the owning grid row
@@ -95,7 +100,7 @@ def _trsm_step(carry, kt, *, nb, leaf_nb, lower, trans, unit, forward, row_tile_
 
     # update remaining rows: B(i) -= op(A)(i, kt) @ X(kt) for unsolved i
     panel = _mult_panel(a, kt, nb=nb, trans=trans, lmt_b=lmt_b,
-                        row_tile_b=row_tile_b)
+                        row_tile_b=row_tile_b, offr=offr if forward else 0)
     mask = (row_tile_el_b > kt) if forward else (row_tile_el_b < kt)
     panel = jnp.where(mask[:, None], panel, jnp.zeros_like(panel))
     b = b - jnp.matmul(panel, xrow, precision=matmul_precision())
@@ -107,15 +112,38 @@ def _dist_trsm_shardfn(a4, b4, *, nb, nrt, leaf_nb, lower, trans, unit, alpha):
     b = b4[0, 0] * alpha
     p = lax.axis_index(ROW_AXIS)
     Pn = lax.axis_size(ROW_AXIS)
+    Qn = lax.axis_size(COL_AXIS)
     lmt_b = b.shape[0] // nb
-    row_tile_el_b = (jnp.arange(lmt_b) * Pn + p).repeat(nb)
 
     forward = (lower == (trans == "N"))
-    ks = jnp.arange(nrt) if forward else jnp.arange(nrt - 1, -1, -1)
-    step = functools.partial(_trsm_step, nb=nb, leaf_nb=leaf_nb, lower=lower,
-                             trans=trans, unit=unit, forward=forward,
-                             row_tile_el_b=row_tile_el_b)
-    (a, b), _ = lax.scan(step, (a, b), ks)
+    # work-optimal shrinking windows (see algos/cholesky.py): forward solves
+    # shrink the unsolved B rows from the top, backward from the bottom
+    from .cholesky import window_buckets
+    buckets = window_buckets(nrt, Pn, Qn)
+    if forward:
+        for k0, k1, offr, _ in buckets:
+            offr = min(offr, lmt_b - 1)
+            lmw = lmt_b - offr
+            row_tile_el_b = ((jnp.arange(lmw) + offr) * Pn + p).repeat(nb)
+            step = functools.partial(
+                _trsm_step, nb=nb, leaf_nb=leaf_nb, lower=lower, trans=trans,
+                unit=unit, forward=True, offr=offr,
+                row_tile_el_b=row_tile_el_b)
+            bw = b[offr * nb:]
+            (a, bw), _ = lax.scan(step, (a, bw), jnp.arange(k0, k1))
+            b = b.at[offr * nb:].set(bw)
+    else:
+        for k0, k1, _, _ in reversed(buckets):
+            end = min((max(k1 - 1, 0)) // Pn + 1, lmt_b)
+            row_tile_el_b = (jnp.arange(end) * Pn + p).repeat(nb)
+            step = functools.partial(
+                _trsm_step, nb=nb, leaf_nb=leaf_nb, lower=lower, trans=trans,
+                unit=unit, forward=False, offr=0,
+                row_tile_el_b=row_tile_el_b)
+            bw = b[:end * nb]
+            (a, bw), _ = lax.scan(step, (a, bw),
+                                  jnp.arange(k1 - 1, k0 - 1, -1))
+            b = b.at[:end * nb].set(bw)
     return b[None, None]
 
 
