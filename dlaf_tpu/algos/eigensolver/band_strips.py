@@ -107,23 +107,26 @@ def strips_extract_tridiag(strips, n: int, b: int):
 def _chase_window(strips, i0, b: int):
     """Gather the (2b, 2b) window G at reflector row i0 plus the raw 3-strip
     slab (for the write-back) and the slab row offset."""
-    s0 = i0 // b
-    im = i0 - s0 * b
-    blks = [lax.dynamic_slice(strips, (s0 + g, 0, im + (2 - g) * b),
+    z = jnp.int32(0)
+    s0 = jnp.asarray(i0 // b, jnp.int32)
+    im = jnp.asarray(i0 - s0 * b, jnp.int32)
+    blks = [lax.dynamic_slice(strips, (s0 + g, z, im + (2 - g) * b),
                               (1, b, 2 * b))[0] for g in range(3)]
     s3 = jnp.concatenate(blks, axis=0)          # (3b, 2b): rows [s0*b, s0*b+3b)
-    g_ = lax.dynamic_slice(s3, (im, 0), (2 * b, 2 * b))
+    g_ = lax.dynamic_slice(s3, (im, z), (2 * b, 2 * b))
     return g_, s3, im
 
 
 def _chase_scatter(strips, g_new, s3, im, i0, b: int):
     """Write the updated window back into strip storage."""
-    s0 = i0 // b
-    s3 = lax.dynamic_update_slice(s3, g_new, (im, 0))
+    z = jnp.int32(0)
+    s0 = jnp.asarray(i0 // b, jnp.int32)
+    im = jnp.asarray(im, jnp.int32)
+    s3 = lax.dynamic_update_slice(s3, g_new, (im, z))
     for g in range(3):
         strips = lax.dynamic_update_slice(
             strips, s3[g * b:(g + 1) * b][None],
-            (s0 + g, 0, im + (2 - g) * b))
+            (s0 + g, z, im + (2 - g) * b))
     return strips
 
 
@@ -165,23 +168,33 @@ def chase_math(g_, first: bool, b: int):
     return g_new, v, tau
 
 
-@functools.partial(jax.jit, static_argnames=("n", "b"))
-def band_to_tridiag_strips(strips, n: int, b: int):
+@functools.partial(jax.jit, static_argnames=("n", "b", "sweep_chunk"))
+def band_to_tridiag_strips(strips, n: int, b: int, sweep_lo=0,
+                           sweep_chunk: int | None = None):
     """Sequential bulge chasing on strip storage.
 
     Same sweep/chase schedule and recorded-reflector layout as the dense
     kernel (see :mod:`band2tridiag`): returns (d, e, vs, taus) with
     vs (nsweeps, ncmax, b), taus (nsweeps, ncmax); the chase-c reflector of
     sweep s acts on rows [s + 1 + c*b, s + 1 + (c+1)*b).
+
+    With ``sweep_chunk`` only sweeps [sweep_lo, sweep_lo + sweep_chunk) are
+    *recorded* (vs/taus leading dim = sweep_chunk; the chasing itself always
+    runs all sweeps) — the distributed driver shards the O(n^2) reflector
+    record over devices this way while the O(n*b) band stays replicated.
+    ``sweep_lo`` may be traced (e.g. a mesh axis index).
     """
     dt_ = strips.dtype
     nsweeps = n - 2
     ncmax = -(-(n - 1) // b)
-    vs0 = jnp.zeros((nsweeps, ncmax, b), dt_)
-    taus0 = jnp.zeros((nsweeps, ncmax), dt_)
+    nrec = nsweeps if sweep_chunk is None else sweep_chunk
+    vs0 = jnp.zeros((nrec + 1, ncmax, b), dt_)    # last row = discard slot
+    taus0 = jnp.zeros((nrec + 1, ncmax), dt_)
+    lo = jnp.asarray(sweep_lo, jnp.int32)
 
     def chase(c, carry):
         s, strips, vs, taus = carry
+        c = jnp.asarray(c, jnp.int32)   # fori index dtype varies under x64
         i0 = s + 1 + c * b
         g_, s3, im = _chase_window(strips, i0, b)
         g0, v0, tau0 = chase_math(g_, first=True, b=b)
@@ -191,16 +204,19 @@ def band_to_tridiag_strips(strips, n: int, b: int):
         v = jnp.where(isfirst, v0, v1)
         tau = jnp.where(isfirst, tau0, tau1)
         strips = _chase_scatter(strips, g_new, s3, im, i0, b)
-        vs = lax.dynamic_update_slice(vs, v[None, None, :], (s, c, 0))
-        taus = lax.dynamic_update_slice(taus, tau[None, None], (s, c))
+        srec = jnp.clip(s - lo, -1, nrec) % (nrec + 1)    # out of range -> nrec
+        vs = lax.dynamic_update_slice(vs, v[None, None, :],
+                                      (srec, c, jnp.int32(0)))
+        taus = lax.dynamic_update_slice(taus, tau[None, None], (srec, c))
         return s, strips, vs, taus
 
     def sweep(s, carry):
         strips, vs, taus = carry
+        s = jnp.asarray(s, jnp.int32)
         nc = jnp.maximum(0, -(-(n - 1 - s) // b))
         _, strips, vs, taus = lax.fori_loop(0, nc, chase, (s, strips, vs, taus))
         return strips, vs, taus
 
     strips, vs, taus = lax.fori_loop(0, nsweeps, sweep, (strips, vs0, taus0))
     d, e = strips_extract_tridiag(strips, n, b)
-    return d, e, vs, taus
+    return d, e, vs[:nrec], taus[:nrec]

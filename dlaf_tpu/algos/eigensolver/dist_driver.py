@@ -3,28 +3,43 @@
 Reference: distributed ``Eigensolver<B,D,T>::call``
 (``eigensolver/eigensolver/impl.h:57-95``) and ``GenEigensolver::call``.
 
-Round-1 distribution state (see README):
-  - stage 1 (reduction to band, the dominant ~4n^3/3 flops) runs fully
-    distributed (:mod:`dist_red2band`);
-  - stage 2 (band -> tridiag) is narrow-band and latency-bound; like the
-    reference, which pins it to Backend::MC with a 1-D re-distribution
-    (``band_to_tridiag/api.h:37-42``), it runs replicated;
-  - stage 3 (D&C) and the back-transformations currently run on the gathered
-    matrix; distributing them (column-sharded eigenvector matrix) is the
-    next step.
+Device-resident end-to-end: every stage operates on sharded/replicated
+jax.Arrays — there is no host gather between ``from_global`` and the result.
+
+  - stage 1 (reduction to band, the dominant ~4n^3/3 flops): fully
+    distributed 2-D SPMD (:mod:`dist_red2band`);
+  - band extraction: one psum into replicated O(n*b) strip storage
+    (:func:`dist_stage23.strips_from_packed_dist`) — the reference's 1-D
+    band re-distribution analog;
+  - stage 2 (band -> tridiag): replicated chasing of the O(n*b) band
+    (latency-bound, like the reference's deliberately-CPU stage,
+    ``band_to_tridiag/api.h:37-42``) with the O(n^2) reflector record
+    sweep-sharded over devices;
+  - stage 3 (tridiag D&C): explicitly distributed merges
+    (:mod:`tridiag_dc_dist`), eigenvector matrix partitioned at every level;
+  - both back-transformations: column-sharded eigenvector matrix, reflector
+    groups broadcast, all flops local (:mod:`dist_stage23`);
+  - final: one GSPMD resharding into the canonical block-cyclic layout.
+
+Per-device peak memory: O(n^2/PQ + n*b). Grids whose device count is not a
+power of two fall back to the round-1 gathered pipeline (kept below as
+``_eigh_dist_gathered``).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ...matrix.dist_matrix import DistMatrix
 from ...tune import get_tune_parameters
+from ...types import is_complex_dtype
 from .band2tridiag import band_to_tridiag_auto as band_to_tridiag
 from .bt import bt_band_to_tridiag, bt_reduction_to_band
 from .dist_red2band import reduction_to_band_dist
 from .driver import _phase_normalize
 from .red2band import extract_band
 from .tridiag_dc import tridiag_eigh
+from .tridiag_dc_dist import dc_dist_supported, tridiag_eigh_dist
 
 
 def eigh_dist(a: DistMatrix, laed4_iter: int | None = None):
@@ -33,13 +48,52 @@ def eigh_dist(a: DistMatrix, laed4_iter: int | None = None):
     Returns (w (n,), v DistMatrix over the same grid).
     """
     n = a.dist.size[0]
-    nb = a.block_size
     pm = a.dist.padded_size[0]
     tune = get_tune_parameters()
     laed4 = laed4_iter or tune.laed4_max_iter
+    D = a.grid.mesh.devices.size
+    if not dc_dist_supported(pm, D):
+        return _eigh_dist_gathered(a, laed4)
 
-    # ensure decoupled padding with large separated diagonal entries so the
-    # padded eigenvalues sort last (overwrite whatever padding is present)
+    from . import dist_stage23 as s23
+
+    nb = a.block_size
+    mesh = a.grid.mesh
+    dt_ = a.data.dtype
+
+    # decouple the padding block device-side (large separated diagonal)
+    data = s23._pad_fix(a.data, nb=nb, n=n, pm=pm, mesh=mesh)
+    a = DistMatrix(data, a.dist, a.grid)
+
+    packed, taus1 = reduction_to_band_dist(a)
+
+    strips = s23.strips_from_packed_dist(packed)
+    d, e, vs, taus2 = s23.band_to_tridiag_dist(strips, pm, nb, mesh)
+    er, phases = _phase_normalize(e, dt_)
+
+    w, qc, m = tridiag_eigh_dist(jnp.real(d), er, mesh, laed4)
+
+    qc = qc.astype(dt_)
+    if is_complex_dtype(dt_):
+        ph = jnp.concatenate([phases, jnp.ones((m - pm,), dt_)])
+        qc = ph[:, None] * qc
+    qc = s23.bt_band_to_tridiag_dist(
+        qc, vs.astype(dt_), taus2.astype(dt_), nb, pm, mesh,
+        group_size=tune.bt_band_to_tridiag_hh_apply_group_size)
+    qc = s23.bt_reduction_to_band_dist(qc, packed, taus1)
+
+    vdata = s23.cols_to_canonical(qc, dist=a.dist,
+                                  sharding=a.grid.canonical_sharding())
+    return w[:n], DistMatrix(vdata, a.dist, a.grid)
+
+
+def _eigh_dist_gathered(a: DistMatrix, laed4: int):
+    """Round-1 fallback for unsupported grids (non-power-of-2 device count):
+    distributed stage 1, host-gathered stages 2/3 with sharding hints."""
+    n = a.dist.size[0]
+    nb = a.block_size
+    pm = a.dist.padded_size[0]
+
     if pm > n:
         g = jnp.asarray(a.to_global())
         gersh = jnp.max(jnp.abs(g)) * (n + 1)
@@ -58,10 +112,6 @@ def eigh_dist(a: DistMatrix, laed4_iter: int | None = None):
     w, q = tridiag_eigh(jnp.real(d), er, laed4, mesh=a.grid.mesh)
     q = (phases[:, None] * q.astype(packed_g.dtype)).astype(packed_g.dtype)
 
-    # back-transformations: shard the eigenvector matrix over its columns
-    # (every reflector application is row-local, so GSPMD keeps the big
-    # GEMMs fully distributed over the mesh)
-    import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
     from ...comm.mesh import COL_AXIS, ROW_AXIS
     if q.shape[1] % a.grid.mesh.devices.size == 0:
@@ -80,8 +130,8 @@ def eigh_gen_dist(a: DistMatrix, b: DistMatrix, laed4_iter: int | None = None,
     cholesky -> gen_to_std -> eigh -> TRSM back-substitution, each stage the
     distributed implementation (reference ``gen_eigensolver/impl.h:46-93``;
     ``b_factorized`` = the reference's ``already_factorized`` mode where ``b``
-    already holds the Cholesky factor L). The A symmetrization runs
-    device-side (``DistMatrix.symmetrize``) — no host round-trip.
+    already holds the Cholesky factor L). Device-resident end-to-end on
+    supported grids.
     """
     from ..cholesky import cholesky
     from ..gen_to_std import generalized_to_standard_dist

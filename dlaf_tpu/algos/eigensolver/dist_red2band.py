@@ -43,7 +43,8 @@ def _gather_col_block(a, kt, nb, lmt):
     Pn = lax.axis_size(ROW_AXIS)
     Qn = lax.axis_size(COL_AXIS)
     lm = a.shape[0]
-    slab = lax.dynamic_slice(a, (0, (kt // Qn) * nb), (lm, nb))
+    kt = jnp.asarray(kt, jnp.int32)
+    slab = lax.dynamic_slice(a, (jnp.int32(0), (kt // Qn) * nb), (lm, nb))
     slab = coll.bcast(jnp.where(q == kt % Qn, slab, jnp.zeros_like(slab)),
                       kt % Qn, COL_AXIS)
     allr = lax.all_gather(slab, ROW_AXIS)            # (P, lm, nb)

@@ -1,0 +1,327 @@
+"""Device-resident distributed stages 2/3 and back-transformations.
+
+Together with :mod:`dist_red2band` and :mod:`tridiag_dc_dist` these make
+``eigh_dist`` run end-to-end on the devices — zero host transfers between
+``from_global`` and the result (the reference keeps every stage distributed:
+``band_to_tridiag/mc.h:990``, ``bt_band_to_tridiag/impl.h:177-535``,
+``bt_reduction_to_band/impl.h:239``).
+
+Data layouts between stages (all jax.Arrays, never gathered to host):
+  - packed stage-1 output: canonical block-cyclic DistMatrix;
+  - band: replicated strip storage, O(n*b) (the reference's 1-D band
+    re-distribution analog, ``get_1d_block_size.h:19-21``);
+  - stage-2 reflector record vs/taus: sweep-sharded over the flat device
+    axis, O(n^2/D) per device;
+  - eigenvector matrix: column-sharded (every reflector application is
+    row-local, so both back-transformations run without communicating
+    eigenvector data; only O(n*b)-sized reflector groups are broadcast).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ...comm.mesh import COL_AXIS, ROW_AXIS
+from ...matrix.dist_matrix import DistMatrix
+from ...ops.core import ct, matmul_precision
+from ...ops.householder import t_factor
+from ...types import is_complex_dtype
+from .band_strips import COL_BASE, STRIP_W, n_strips
+from .dist_red2band import _gather_col_block
+
+AXES = (ROW_AXIS, COL_AXIS)
+
+
+# ---------------------------------------------------------------------------
+# padding fix-up (device-side; replaces the round-1 host gather)
+
+
+def _pad_fix_shardfn(a4, *, nb, n, pm):
+    a = a4[0, 0]
+    p = lax.axis_index(ROW_AXIS)
+    q = lax.axis_index(COL_AXIS)
+    Pn = lax.axis_size(ROW_AXIS)
+    Qn = lax.axis_size(COL_AXIS)
+    lm, ln = a.shape
+    grow = (jnp.arange(lm // nb) * Pn + p).repeat(nb) * nb + \
+        jnp.tile(jnp.arange(nb), lm // nb)
+    gcol = (jnp.arange(ln // nb) * Qn + q).repeat(nb) * nb + \
+        jnp.tile(jnp.arange(nb), ln // nb)
+    valid = (grow[:, None] < n) & (gcol[None, :] < n)
+    gersh = lax.pmax(lax.pmax(
+        jnp.max(jnp.where(valid, jnp.abs(a), 0)), ROW_AXIS), COL_AXIS)
+    gersh = gersh * (n + 1)
+    paddiag = (grow[:, None] == gcol[None, :]) & (grow[:, None] >= n)
+    padvals = (gersh + 1.0 + (grow[:, None] - n)).astype(a.dtype)
+    a = jnp.where(valid, a, 0)
+    a = jnp.where(paddiag, padvals, a)
+    return a[None, None]
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "n", "pm", "mesh"))
+def _pad_fix(data, *, nb, n, pm, mesh):
+    """Zero the padding region and put large, separated entries on the
+    padding diagonal so padded eigenvalues decouple and sort last."""
+    spec = P(ROW_AXIS, COL_AXIS, None, None)
+    fn = jax.shard_map(functools.partial(_pad_fix_shardfn, nb=nb, n=n, pm=pm),
+                       mesh=mesh, in_specs=(spec,), out_specs=spec)
+    return fn(data)
+
+
+# ---------------------------------------------------------------------------
+# band extraction: packed DistMatrix -> replicated strip storage
+
+
+def _strips_shardfn(a4, *, nb, nrt, ns):
+    a = a4[0, 0]
+    p = lax.axis_index(ROW_AXIS)
+    q = lax.axis_index(COL_AXIS)
+    Pn = lax.axis_size(ROW_AXIS)
+    Qn = lax.axis_size(COL_AXIS)
+    b = nb
+    dt_ = a.dtype
+    tri_l = jnp.tril(jnp.ones((b, b), jnp.bool_))
+    tri_u = jnp.triu(jnp.ones((b, b), jnp.bool_))
+
+    def body(s, out):
+        s = jnp.asarray(s, jnp.int32)   # fori index is int64 under x64
+        # band row-block s: tril of tile (s, s) + triu of tile (s, s-1)
+        diag = lax.dynamic_slice(a, ((s // Pn) * b, (s // Qn) * b), (b, b))
+        diag = jnp.where((p == s % Pn) & (q == s % Qn) & tri_l, diag, 0)
+        sm1 = jnp.maximum(s - 1, 0)
+        sub = lax.dynamic_slice(a, ((s // Pn) * b, (sm1 // Qn) * b), (b, b))
+        sub = jnp.where((p == s % Pn) & (q == sm1 % Qn) & (s > 0) & tri_u,
+                        sub, 0)
+        blk = jnp.concatenate(
+            [jnp.zeros((b, 2 * b), dt_), sub, diag, jnp.zeros((b, b), dt_)],
+            axis=1)
+        return lax.dynamic_update_slice(out, blk[None], (s, jnp.int32(0),
+                                                         jnp.int32(0)))
+
+    out0 = jnp.zeros((ns, b, STRIP_W * b), dt_)
+    out = lax.fori_loop(0, nrt, body, out0)
+    return lax.psum(lax.psum(out, ROW_AXIS), COL_AXIS)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "nrt", "ns", "mesh"))
+def _strips_dist(data, *, nb, nrt, ns, mesh):
+    spec = P(ROW_AXIS, COL_AXIS, None, None)
+    fn = jax.shard_map(functools.partial(_strips_shardfn, nb=nb, nrt=nrt, ns=ns),
+                       mesh=mesh, in_specs=(spec,), out_specs=P(),
+                       check_vma=False)
+    return fn(data)
+
+
+def strips_from_packed_dist(packed: DistMatrix):
+    """Replicated strip storage of the band held in a packed stage-1
+    DistMatrix (band == block size). O(n*b) data, one psum."""
+    nb = packed.block_size
+    pm = packed.dist.padded_size[0]
+    nrt = pm // nb
+    ns = n_strips(pm, nb) + 3     # incl. the Pallas kernel's dead strips
+    return _strips_dist(packed.data, nb=nb, nrt=nrt, ns=ns,
+                        mesh=packed.grid.mesh)
+
+
+# ---------------------------------------------------------------------------
+# stage 2: replicated chasing, sweep-sharded reflector record
+
+
+def _stage2_shardfn(strips, *, n_eff, b, chunk, use_pallas):
+    p = lax.axis_index(ROW_AXIS)
+    q = lax.axis_index(COL_AXIS)
+    Qn = lax.axis_size(COL_AXIS)
+    did = p * Qn + q
+    lo = did * chunk
+    if use_pallas:
+        from ...ops.pallas.band2tridiag import band_to_tridiag_strips_pallas
+        d, e, vs, taus = band_to_tridiag_strips_pallas(
+            strips, n_eff, b, sweep_lo=lo, sweep_chunk=chunk)
+    else:
+        from .band_strips import band_to_tridiag_strips
+        d, e, vs, taus = band_to_tridiag_strips(
+            strips, n_eff, b, sweep_lo=lo, sweep_chunk=chunk)
+    return d, e, vs, taus
+
+
+@functools.partial(jax.jit, static_argnames=("n_eff", "b", "chunk",
+                                             "use_pallas", "mesh"))
+def _stage2_dist(strips, *, n_eff, b, chunk, use_pallas, mesh):
+    fn = jax.shard_map(
+        functools.partial(_stage2_shardfn, n_eff=n_eff, b=b, chunk=chunk,
+                          use_pallas=use_pallas),
+        mesh=mesh, in_specs=(P(),),
+        out_specs=(P(), P(), P(AXES, None, None), P(AXES, None)),
+        check_vma=False)
+    return fn(strips)
+
+
+def band_to_tridiag_dist(strips, n_eff: int, b: int, mesh):
+    """Stage 2 on replicated strips; every device chases the (cheap, O(n*b))
+    band identically — like the reference, which runs stage 2 on a 1-D
+    re-distribution because it does not scale in 2-D — but records only its
+    own sweep chunk of the O(n^2) reflector set.
+
+    Returns (d, e, vs, taus) with vs/taus sweep-sharded jax.Arrays of global
+    leading dim D*ceil(nsweeps/D) (padded sweeps have tau == 0: no-ops).
+    """
+    D = mesh.devices.size
+    nsweeps = max(n_eff - 2, 1)
+    chunk = -(-nsweeps // D)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    use_pallas = on_tpu and strips.dtype == jnp.float32 and b >= 8
+    return _stage2_dist(strips, n_eff=n_eff, b=b, chunk=chunk,
+                        use_pallas=use_pallas, mesh=mesh)
+
+
+# ---------------------------------------------------------------------------
+# back-transformation: bulge-chase reflectors on column-sharded eigenvectors
+
+
+def _bt_b2t_shardfn(qc, vs_loc, taus_loc, *, b, chunk, gsz, n_eff):
+    dt_ = qc.dtype
+    D = lax.axis_size(ROW_AXIS) * lax.axis_size(COL_AXIS)
+    did = lax.axis_index(ROW_AXIS) * lax.axis_size(COL_AXIS) + \
+        lax.axis_index(COL_AXIS)
+    ncmax = vs_loc.shape[1]
+    m, ncols = qc.shape
+    pad_rows = max(chunk * D + ncmax * b + 1 - m, 0)
+    ep = jnp.concatenate([qc, jnp.zeros((pad_rows, ncols), dt_)], axis=0)
+    ngroups = (chunk * D) // gsz
+
+    conjf = (lambda x: jnp.conj(x)) if is_complex_dtype(dt_) else (lambda x: x)
+
+    def group_step(k, ep):
+        g = ngroups - 1 - jnp.asarray(k, jnp.int32)
+        s0 = g * gsz
+        owner = s0 // chunk
+        vs_g = lax.dynamic_slice(
+            vs_loc, (jnp.where(did == owner, s0 - owner * chunk, 0),
+                     jnp.int32(0), jnp.int32(0)), (gsz, ncmax, b))
+        taus_g = lax.dynamic_slice(
+            taus_loc, (jnp.where(did == owner, s0 - owner * chunk, 0),
+                       jnp.int32(0)), (gsz, ncmax))
+        vs_g = jnp.where(did == owner, vs_g, 0)
+        taus_g = jnp.where(did == owner, taus_g, 0)
+        vs_g = lax.psum(lax.psum(vs_g, ROW_AXIS), COL_AXIS)
+        taus_g = lax.psum(lax.psum(taus_g, ROW_AXIS), COL_AXIS)
+
+        def sweep_step(i, ep):
+            si = gsz - 1 - jnp.asarray(i, jnp.int32)
+            s = s0 + si
+            v = vs_g[si]
+            tau = taus_g[si]
+            blk = lax.dynamic_slice(ep, (s + 1, jnp.int32(0)),
+                                    (ncmax * b, ncols))
+            blk3 = blk.reshape(ncmax, b, ncols)
+            w = jnp.einsum("cb,cbe->ce", conjf(v), blk3,
+                           precision=matmul_precision())
+            coef = conjf(tau)[:, None, None]
+            blk3 = blk3 - coef * v[:, :, None] * w[:, None, :]
+            return lax.dynamic_update_slice(
+                ep, blk3.reshape(ncmax * b, ncols), (s + 1, jnp.int32(0)))
+
+        return lax.fori_loop(0, gsz, sweep_step, ep)
+
+    ep = lax.fori_loop(0, ngroups, group_step, ep)
+    return ep[:m]
+
+
+@functools.partial(jax.jit, static_argnames=("b", "chunk", "gsz", "n_eff",
+                                             "mesh"))
+def _bt_b2t_dist(qc, vs, taus, *, b, chunk, gsz, n_eff, mesh):
+    fn = jax.shard_map(
+        functools.partial(_bt_b2t_shardfn, b=b, chunk=chunk, gsz=gsz,
+                          n_eff=n_eff),
+        mesh=mesh,
+        in_specs=(P(None, AXES), P(AXES, None, None), P(AXES, None)),
+        out_specs=P(None, AXES), check_vma=False)
+    return fn(qc, vs, taus)
+
+
+def bt_band_to_tridiag_dist(qc, vs, taus, b: int, n_eff: int, mesh,
+                            group_size: int = 64):
+    """E <- Q_stage2 E on a column-sharded E with sweep-sharded reflectors.
+
+    Reflector groups of ``group_size`` sweeps are broadcast (one psum each,
+    O(group * n) data) and applied locally — eigenvector data never moves.
+    """
+    D = mesh.devices.size
+    nsweeps_pad = vs.shape[0]
+    chunk = nsweeps_pad // D
+    gsz = min(group_size, chunk)
+    while chunk % gsz:
+        gsz -= 1
+    return _bt_b2t_dist(qc, vs, taus, b=b, chunk=chunk, gsz=gsz, n_eff=n_eff,
+                        mesh=mesh)
+
+
+# ---------------------------------------------------------------------------
+# back-transformation: stage-1 panels on column-sharded eigenvectors
+
+
+def _bt_r2b_shardfn(qc, a4, taus, *, nb, npanels, pm):
+    a = a4[0, 0]
+    dt_ = qc.dtype
+    lmt = a.shape[0] // nb
+    m, ncols = qc.shape
+    rows = jnp.arange(pm)
+
+    def panel_step(k, e):
+        kk = npanels - 1 - jnp.asarray(k, jnp.int32)
+        j0 = kk * nb
+        r0 = j0 + nb
+        panel = _gather_col_block(a, kk, nb, lmt).astype(dt_)   # (pm, nb)
+        head = r0 + jnp.arange(nb)
+        v = jnp.where(rows[:, None] > head[None, :], panel, 0)
+        v = v + jnp.where(rows[:, None] == head[None, :], 1.0, 0).astype(dt_)
+        tp = lax.dynamic_slice(taus, (j0,), (nb,)).astype(dt_)
+        t = t_factor(v, tp)
+        etop = e[:pm]
+        w = jnp.matmul(ct(v), etop, precision=matmul_precision())
+        etop = etop - jnp.matmul(
+            v, jnp.matmul(t, w, precision=matmul_precision()),
+            precision=matmul_precision())
+        return e.at[:pm].set(etop)
+
+    return lax.fori_loop(0, npanels, panel_step, qc)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "npanels", "pm", "mesh"))
+def _bt_r2b_dist(qc, data, taus, *, nb, npanels, pm, mesh):
+    fn = jax.shard_map(
+        functools.partial(_bt_r2b_shardfn, nb=nb, npanels=npanels, pm=pm),
+        mesh=mesh,
+        in_specs=(P(None, AXES), P(ROW_AXIS, COL_AXIS, None, None), P()),
+        out_specs=P(None, AXES), check_vma=False)
+    return fn(qc, data, taus)
+
+
+def bt_reduction_to_band_dist(qc, packed: DistMatrix, taus):
+    """E <- Q_stage1 E on a column-sharded E; panels are gathered from the
+    packed DistMatrix with the same collectives stage 1 used (reference
+    ``bt_reduction_to_band/impl.h:239``)."""
+    nb = packed.block_size
+    pm = packed.dist.padded_size[0]
+    npanels = max(pm // nb - 1, 0)
+    return _bt_r2b_dist(qc, packed.data, taus, nb=nb, npanels=npanels, pm=pm,
+                        mesh=packed.grid.mesh)
+
+
+# ---------------------------------------------------------------------------
+# final layout change: column shards -> canonical block-cyclic
+
+
+@functools.partial(jax.jit, static_argnames=("dist", "sharding"))
+def cols_to_canonical(qc, *, dist, sharding):
+    """(m, m) column-sharded eigenvector matrix -> canonical DistMatrix
+    layout (GSPMD inserts the redistribution collectives; no host)."""
+    from ...dist import scatter_to_shards
+    pm, pn = dist.padded_size
+    q = qc[:pm, :pn]
+    return jax.lax.with_sharding_constraint(scatter_to_shards(q, dist),
+                                            sharding)

@@ -62,7 +62,8 @@ def _win_lanes(b: int) -> int:
     return (-(-2 * b // ALIGN) + 1) * ALIGN
 
 
-def _make_kernel(*, n, b, nsweeps, ncmax, nlanes, tsteps, ns_total, depth, nw_w):
+def _make_kernel(*, n, b, nsweeps, ncmax, nlanes, tsteps, ns_total, depth,
+                 nw_w, nrec):
     total = tsteps * nlanes
     dead_s0 = ns_total - 3
     win = _win_lanes(b)
@@ -78,11 +79,16 @@ def _make_kernel(*, n, b, nsweeps, ncmax, nlanes, tsteps, ns_total, depth, nw_w)
         a0 = pl.multiple_of((t0 // ALIGN) * ALIGN, ALIGN)
         return s0, im, a0, t0 - a0
 
-    def kernel(strips_in, hh_in, strips_ref, hh_ref, rbuf, hh_s_ref,
+    def kernel(strips_in, hh_in, lo_ref, strips_ref, hh_ref, rbuf, hh_s_ref,
                rsem, wsem, hsem):
         # strips_in/hh_in are the aliased input views of strips_ref/hh_ref
         del strips_in, hh_in
         nw_r = rbuf.shape[0]
+
+        def rec_row(s_idx):
+            # sweep-chunked reflector record: rows outside [lo, lo + nrec)
+            # land in the discard row nrec
+            return jnp.clip(s_idx - lo_ref[0], -1, nrec) % (nrec + 1)
 
         def read_dmas(i, slot):
             i0, _, _, _ = par(i)
@@ -105,7 +111,7 @@ def _make_kernel(*, n, b, nsweeps, ncmax, nlanes, tsteps, ns_total, depth, nw_w)
                     wsem.at[slot % nw_w, g]))
             cps.append(pltpu.make_async_copy(
                 hh_s_ref.at[slot % nw_w],
-                hh_ref.at[s_idx, pl.ds(c_idx, 1), :],
+                hh_ref.at[rec_row(s_idx), pl.ds(c_idx, 1), :],
                 hsem.at[slot % nw_w]))
             return cps  # hh record is lane-padded to a 128 multiple (bp)
 
@@ -236,12 +242,15 @@ def _make_kernel(*, n, b, nsweeps, ncmax, nlanes, tsteps, ns_total, depth, nw_w)
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n", "b"))
-def band_to_tridiag_strips_pallas(strips, n: int, b: int):
+@functools.partial(jax.jit, static_argnames=("n", "b", "sweep_chunk"))
+def band_to_tridiag_strips_pallas(strips, n: int, b: int, sweep_lo=0,
+                                  sweep_chunk: int | None = None):
     """Wavefront bulge chasing on strip storage (f32, b >= 8).
 
     strips: (>= n_strips(n, b) + 3, b, 5b) f32 strip storage.
     Returns (d, e, vs, taus) in the shared recorded-reflector layout.
+    With ``sweep_chunk``, only sweeps [sweep_lo, sweep_lo + sweep_chunk) are
+    recorded (see band_strips.band_to_tridiag_strips).
     """
     assert strips.dtype == jnp.float32
     nsweeps = n - 2
@@ -262,18 +271,21 @@ def band_to_tridiag_strips_pallas(strips, n: int, b: int):
     depth = 2
     nw_w = max(1, min(4, nlanes - depth))
     nw_r = nw_w + depth
+    nrec = nsweeps if sweep_chunk is None else sweep_chunk
 
     kernel = _make_kernel(n=n, b=b, nsweeps=nsweeps, ncmax=ncmax,
                           nlanes=nlanes, tsteps=tsteps, ns_total=ns_total,
-                          depth=depth, nw_w=nw_w)
+                          depth=depth, nw_w=nw_w, nrec=nrec)
     bp = -(-b // ALIGN) * ALIGN          # lane-aligned reflector record
-    hh0 = jnp.zeros((nsweeps + 1, ncmax, bp), jnp.float32)
+    hh0 = jnp.zeros((nrec + 1, ncmax, bp), jnp.float32)
+    lo_arr = jnp.asarray([sweep_lo], jnp.int32)
     strips_out, hh = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct(strips.shape, strips.dtype),
                    jax.ShapeDtypeStruct(hh0.shape, hh0.dtype)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
                    pl.BlockSpec(memory_space=pltpu.ANY)),
         scratch_shapes=[
@@ -285,11 +297,11 @@ def band_to_tridiag_strips_pallas(strips, n: int, b: int):
         ],
         input_output_aliases={0: 0, 1: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(strips, hh0)
+    )(strips, hh0, lo_arr)
 
     from ...algos.eigensolver.band_strips import strips_extract_tridiag
     d, e = strips_extract_tridiag(strips_out[:, :, :STRIP_W * b], n, b)
-    hh = hh[:nsweeps, :, :b]
+    hh = hh[:nrec, :, :b]
     taus = hh[:, :, 0]
     vs = hh.at[:, :, 0].set(jnp.where(taus != 0, 1.0, 0.0))
     return d, e, vs, taus
