@@ -30,10 +30,10 @@ from ...types import is_complex_dtype
 
 
 @functools.partial(jax.jit, static_argnames=("b",))
-def bt_band_to_tridiag(e_mat, vs, taus, b: int):
-    """E <- Q_stage2 E using the recorded bulge-chase reflectors.
-
-    e_mat: (n, nev); vs: (nsweeps, ncmax, b); taus: (nsweeps, ncmax).
+def bt_band_to_tridiag_sweepwise(e_mat, vs, taus, b: int):
+    """E <- Q_stage2 E, one batched rank-1 pass per sweep (reference
+    ungrouped application; kept as the grouped kernel's test oracle —
+    it streams the whole E once per sweep, O(n^3) HBM traffic).
     """
     if b == 1:
         return e_mat
@@ -60,6 +60,93 @@ def bt_band_to_tridiag(e_mat, vs, taus, b: int):
         return ep
 
     ep = lax.fori_loop(0, nsweeps, sweep_step, ep)
+    return ep[:n]
+
+
+def wy_select_tensor(g: int, b: int, dtype):
+    """Static selection tensor assembling the staggered WY trapezoid:
+    V[r, j] = vs_rev[j, r - (g-1-j)] as einsum('rjt,jt->rj', SEL, vs_rev)
+    (gather-free; SEL is a 0/1 tensor of shape (b+g-1, g, b))."""
+    r = jnp.arange(b + g - 1)[:, None, None]
+    j = jnp.arange(g)[None, :, None]
+    t = jnp.arange(b)[None, None, :]
+    from ...types import real_dtype
+    return (r == (g - 1 - j) + t).astype(real_dtype(dtype))
+
+
+def wy_group_vt(vs_g, taus_g, sel):
+    """Compact-WY (V, T) of one group x chase block.
+
+    vs_g/taus_g: the group's reflectors for one chase index, sweep-ascending
+    ((g, b) / (g,)); the block operator is Q^H with Q = H_{s+g-1} ... H_s
+    (highest sweep applied first), so V column j holds sweep s+g-1-j at row
+    offset g-1-j — exactly the original application order for every
+    overlapping pair.
+    """
+    vs_rev = vs_g[::-1]
+    taus_rev = taus_g[::-1]
+    v = jnp.einsum("rjt,jt->rj", sel, vs_rev).astype(vs_g.dtype)
+    t = t_factor(v, taus_rev)
+    return v, t
+
+
+@functools.partial(jax.jit, static_argnames=("b", "group_size"))
+def bt_band_to_tridiag(e_mat, vs, taus, b: int, group_size: int = 64):
+    """E <- Q_stage2 E with grouped compact-WY application.
+
+    The reference groups reflector applications per eigenvector tile
+    (``bt_band_to_tridiag/impl.h:177-535``, ``hh_apply_group_size``); here
+    ``group_size`` consecutive sweeps' chase-c reflectors form one staggered
+    WY block applied with two GEMMs, cutting HBM traffic from O(n^2) per
+    sweep to O(n^2 (1/g + 1/b)) total and making every step MXU-sized.
+    Blocks run ascending in c, groups descending in sweeps; within a block
+    the columns are sweep-descending — an exact linear extension of the
+    original per-reflector order (only (higher sweep, lower c) pairs
+    overlap (lower sweep, higher c) ones).
+    """
+    if b == 1:
+        return e_mat
+    n, nev = e_mat.shape
+    nsweeps, ncmax, _ = vs.shape
+    dt = e_mat.dtype
+    g = max(1, min(group_size, nsweeps))
+    ngroups = -(-nsweeps // g)
+    nspad = ngroups * g
+    if nspad > nsweeps:   # padded sweeps have tau == 0: exact no-ops
+        vs = jnp.concatenate(
+            [vs, jnp.zeros((nspad - nsweeps, ncmax, b), dt)], axis=0)
+        taus = jnp.concatenate(
+            [taus, jnp.zeros((nspad - nsweeps, ncmax), dt)], axis=0)
+
+    pad_rows = nspad + ncmax * b + g - n
+    ep = jnp.concatenate([e_mat, jnp.zeros((max(pad_rows, 0), nev), dt)],
+                         axis=0)
+    sel = wy_select_tensor(g, b, dt)
+    win = b + g - 1
+    conj = (lambda x: jnp.conj(x)) if is_complex_dtype(dt) else (lambda x: x)
+
+    def chase_step(c, carry):
+        s0, ep = carry
+        c = jnp.asarray(c, jnp.int32)
+        v, t = wy_group_vt(
+            lax.dynamic_slice(vs, (s0, c, jnp.int32(0)), (g, 1, b))[:, 0],
+            lax.dynamic_slice(taus, (s0, c), (g, 1))[:, 0], sel)
+        r0 = s0 + 1 + c * b
+        blk = lax.dynamic_slice(ep, (r0, jnp.int32(0)), (win, nev))
+        # E <- Q^H E = E - V T^H (V^H E)
+        w = jnp.matmul(ct(v), blk, precision=matmul_precision())
+        blk = blk - jnp.matmul(v, jnp.matmul(ct(t), w,
+                                             precision=matmul_precision()),
+                               precision=matmul_precision())
+        ep = lax.dynamic_update_slice(ep, blk, (r0, jnp.int32(0)))
+        return s0, ep
+
+    def group_step(k, ep):
+        s0 = jnp.asarray((ngroups - 1 - k) * g, jnp.int32)
+        _, ep = lax.fori_loop(0, ncmax, chase_step, (s0, ep))
+        return ep
+
+    ep = lax.fori_loop(0, ngroups, group_step, ep)
     return ep[:n]
 
 

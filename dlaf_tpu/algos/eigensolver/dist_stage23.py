@@ -183,22 +183,24 @@ def band_to_tridiag_dist(strips, n_eff: int, b: int, mesh):
 
 
 def _bt_b2t_shardfn(qc, vs_loc, taus_loc, *, b, chunk, gsz, n_eff):
+    from .bt import wy_group_vt, wy_select_tensor
     dt_ = qc.dtype
     D = lax.axis_size(ROW_AXIS) * lax.axis_size(COL_AXIS)
     did = lax.axis_index(ROW_AXIS) * lax.axis_size(COL_AXIS) + \
         lax.axis_index(COL_AXIS)
     ncmax = vs_loc.shape[1]
     m, ncols = qc.shape
-    pad_rows = max(chunk * D + ncmax * b + 1 - m, 0)
+    pad_rows = max(chunk * D + ncmax * b + gsz - m, 0)
     ep = jnp.concatenate([qc, jnp.zeros((pad_rows, ncols), dt_)], axis=0)
     ngroups = (chunk * D) // gsz
-
-    conjf = (lambda x: jnp.conj(x)) if is_complex_dtype(dt_) else (lambda x: x)
+    sel = wy_select_tensor(gsz, b, dt_)
+    win = b + gsz - 1
 
     def group_step(k, ep):
         g = ngroups - 1 - jnp.asarray(k, jnp.int32)
         s0 = g * gsz
         owner = s0 // chunk
+        # broadcast the group's reflectors (one psum of O(gsz * n) data)
         vs_g = lax.dynamic_slice(
             vs_loc, (jnp.where(did == owner, s0 - owner * chunk, 0),
                      jnp.int32(0), jnp.int32(0)), (gsz, ncmax, b))
@@ -210,22 +212,24 @@ def _bt_b2t_shardfn(qc, vs_loc, taus_loc, *, b, chunk, gsz, n_eff):
         vs_g = lax.psum(lax.psum(vs_g, ROW_AXIS), COL_AXIS)
         taus_g = lax.psum(lax.psum(taus_g, ROW_AXIS), COL_AXIS)
 
-        def sweep_step(i, ep):
-            si = gsz - 1 - jnp.asarray(i, jnp.int32)
-            s = s0 + si
-            v = vs_g[si]
-            tau = taus_g[si]
-            blk = lax.dynamic_slice(ep, (s + 1, jnp.int32(0)),
-                                    (ncmax * b, ncols))
-            blk3 = blk.reshape(ncmax, b, ncols)
-            w = jnp.einsum("cb,cbe->ce", conjf(v), blk3,
-                           precision=matmul_precision())
-            coef = conjf(tau)[:, None, None]
-            blk3 = blk3 - coef * v[:, :, None] * w[:, None, :]
-            return lax.dynamic_update_slice(
-                ep, blk3.reshape(ncmax * b, ncols), (s + 1, jnp.int32(0)))
+        # grouped compact-WY application, local to the column shard
+        # (see bt.bt_band_to_tridiag for the ordering argument)
+        def chase_step(c, ep):
+            c = jnp.asarray(c, jnp.int32)
+            v, t = wy_group_vt(
+                lax.dynamic_slice(vs_g, (jnp.int32(0), c, jnp.int32(0)),
+                                  (gsz, 1, b))[:, 0],
+                lax.dynamic_slice(taus_g, (jnp.int32(0), c), (gsz, 1))[:, 0],
+                sel)
+            r0 = s0 + 1 + c * b
+            blk = lax.dynamic_slice(ep, (r0, jnp.int32(0)), (win, ncols))
+            w = jnp.matmul(ct(v), blk, precision=matmul_precision())
+            blk = blk - jnp.matmul(
+                v, jnp.matmul(ct(t), w, precision=matmul_precision()),
+                precision=matmul_precision())
+            return lax.dynamic_update_slice(ep, blk, (r0, jnp.int32(0)))
 
-        return lax.fori_loop(0, gsz, sweep_step, ep)
+        return lax.fori_loop(0, ncmax, chase_step, ep)
 
     ep = lax.fori_loop(0, ngroups, group_step, ep)
     return ep[:m]

@@ -65,7 +65,9 @@ def eigh(a, uplo: str = "L", band: int | None = None, laed4_iter: int | None = N
         er, phases = _phase_normalize(e, a.dtype)
         w, q = tridiag_eigh(jnp.real(d), er, laed4)
         q = (phases[:, None] * q.astype(a.dtype)).astype(a.dtype)
-        q = bt_band_to_tridiag(q, vs, taus2, max(n - 1, 1))
+        q = bt_band_to_tridiag(
+            q, vs, taus2, max(n - 1, 1),
+            group_size=tune.bt_band_to_tridiag_hh_apply_group_size)
         return w, q
 
     if npad:
@@ -87,7 +89,9 @@ def eigh(a, uplo: str = "L", band: int | None = None, laed4_iter: int | None = N
     er, phases = _phase_normalize(e, ap.dtype)
     w, q = tridiag_eigh(jnp.real(d), er, laed4)
     q = (phases[:, None] * q.astype(ap.dtype)).astype(ap.dtype)
-    q = bt_band_to_tridiag(q, vs, taus2, b)
+    q = bt_band_to_tridiag(
+        q, vs, taus2, b,
+        group_size=tune.bt_band_to_tridiag_hh_apply_group_size)
     q = bt_reduction_to_band(q, packed, taus1, b)
     return w[:n], q[:n, :n]
 
