@@ -72,6 +72,35 @@ def band_to_strips(band_dense, b: int):
     return lax.fori_loop(0, ns, body, jnp.zeros((ns, b, STRIP_W * b), dt_))
 
 
+def restripe(strips_nb, nb: int, b: int, ns_out: int):
+    """nb-strip storage -> b-strip storage (b | nb); replicated O(n*b) pass.
+
+    The analog of the reference's 1-D block re-distribution between stages 1
+    and 2 (``get_1d_block_size.h:19-21``): stage 1 runs on nb-tiles, stage 2
+    chases a band of width b < nb.
+    """
+    assert nb % b == 0
+    dt_ = strips_nb.dtype
+    out0 = jnp.zeros((ns_out, b, STRIP_W * b), dt_)
+
+    def body(s, out):
+        s = jnp.asarray(s, jnp.int32)
+        r0 = s * b
+        t = r0 // nb
+        rl0 = r0 % nb
+        # column j=0 of b-strip s is global (s-3)*b = strip-t offset
+        # (s-3)*b - (t-3)*nb = rl0 + 3*(nb - b)  (always in [0, 5nb-5b])
+        c0 = rl0 + 3 * (nb - b)
+        blk = lax.dynamic_slice(strips_nb, (t, rl0, c0),
+                                (1, b, STRIP_W * b))[0]
+        return lax.dynamic_update_slice(out, blk[None],
+                                        (s, jnp.int32(0), jnp.int32(0)))
+
+    # every b-strip start maps inside the nb-strip array (padding strips are
+    # zero, and dynamic_slice clamps at the edge onto zero content)
+    return lax.fori_loop(0, ns_out, body, out0)
+
+
 def packed_to_strips(a_packed, band: int, nb: int | None = None):
     """Strip storage directly from the stage-1 packed output (band in the
     banded lower triangle of ``a_packed``; reflectors strictly below are

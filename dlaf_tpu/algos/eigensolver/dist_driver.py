@@ -60,15 +60,19 @@ def eigh_dist(a: DistMatrix, laed4_iter: int | None = None):
     nb = a.block_size
     mesh = a.grid.mesh
     dt_ = a.data.dtype
+    # band < nb (reference getBandSize + retiling): stage 1 panels are
+    # band-wide inside nb-tiles, stage 2 chases the cheap narrow band
+    from .driver import get_band_size
+    band = get_band_size(nb)
 
     # decouple the padding block device-side (large separated diagonal)
     data = s23._pad_fix(a.data, nb=nb, n=n, pm=pm, mesh=mesh)
     a = DistMatrix(data, a.dist, a.grid)
 
-    packed, taus1 = reduction_to_band_dist(a)
+    packed, taus1 = reduction_to_band_dist(a, band)
 
-    strips = s23.strips_from_packed_dist(packed)
-    d, e, vs, taus2 = s23.band_to_tridiag_dist(strips, pm, nb, mesh)
+    strips = s23.strips_from_packed_dist(packed, band)
+    d, e, vs, taus2 = s23.band_to_tridiag_dist(strips, pm, band, mesh)
     er, phases = _phase_normalize(e, dt_)
 
     w, qc, m = tridiag_eigh_dist(jnp.real(d), er, mesh, laed4)
@@ -78,9 +82,9 @@ def eigh_dist(a: DistMatrix, laed4_iter: int | None = None):
         ph = jnp.concatenate([phases, jnp.ones((m - pm,), dt_)])
         qc = ph[:, None] * qc
     qc = s23.bt_band_to_tridiag_dist(
-        qc, vs.astype(dt_), taus2.astype(dt_), nb, pm, mesh,
+        qc, vs.astype(dt_), taus2.astype(dt_), band, pm, mesh,
         group_size=tune.bt_band_to_tridiag_hh_apply_group_size)
-    qc = s23.bt_reduction_to_band_dist(qc, packed, taus1)
+    qc = s23.bt_reduction_to_band_dist(qc, packed, taus1, band)
 
     vdata = s23.cols_to_canonical(qc, dist=a.dist,
                                   sharding=a.grid.canonical_sharding())

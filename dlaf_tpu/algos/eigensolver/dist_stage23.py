@@ -31,7 +31,7 @@ from ...ops.core import ct, matmul_precision
 from ...ops.householder import t_factor
 from ...types import is_complex_dtype
 from .band_strips import COL_BASE, STRIP_W, n_strips
-from .dist_red2band import _gather_col_block
+from .dist_red2band import _gather_col_band, _gather_col_block
 
 AXES = (ROW_AXIS, COL_AXIS)
 
@@ -76,7 +76,7 @@ def _pad_fix(data, *, nb, n, pm, mesh):
 # band extraction: packed DistMatrix -> replicated strip storage
 
 
-def _strips_shardfn(a4, *, nb, nrt, ns):
+def _strips_shardfn(a4, *, nb, band, nrt, ns_nb, ns):
     a = a4[0, 0]
     p = lax.axis_index(ROW_AXIS)
     q = lax.axis_index(COL_AXIS)
@@ -84,17 +84,21 @@ def _strips_shardfn(a4, *, nb, nrt, ns):
     Qn = lax.axis_size(COL_AXIS)
     b = nb
     dt_ = a.dtype
-    tri_l = jnp.tril(jnp.ones((b, b), jnp.bool_))
-    tri_u = jnp.triu(jnp.ones((b, b), jnp.bool_))
+    rl = jnp.arange(b)[:, None]
+    cl = jnp.arange(b)[None, :]
+    # band-only masks (band <= nb): reflectors live strictly below the band
+    # inside the lower triangle and must not leak into stage 2
+    diag_m = (rl >= cl) & (rl - cl <= band)
+    sub_m = (cl >= rl) & (b + rl - cl <= band)
 
     def body(s, out):
         s = jnp.asarray(s, jnp.int32)   # fori index is int64 under x64
         # band row-block s: tril of tile (s, s) + triu of tile (s, s-1)
         diag = lax.dynamic_slice(a, ((s // Pn) * b, (s // Qn) * b), (b, b))
-        diag = jnp.where((p == s % Pn) & (q == s % Qn) & tri_l, diag, 0)
+        diag = jnp.where((p == s % Pn) & (q == s % Qn) & diag_m, diag, 0)
         sm1 = jnp.maximum(s - 1, 0)
         sub = lax.dynamic_slice(a, ((s // Pn) * b, (sm1 // Qn) * b), (b, b))
-        sub = jnp.where((p == s % Pn) & (q == sm1 % Qn) & (s > 0) & tri_u,
+        sub = jnp.where((p == s % Pn) & (q == sm1 % Qn) & (s > 0) & sub_m,
                         sub, 0)
         blk = jnp.concatenate(
             [jnp.zeros((b, 2 * b), dt_), sub, diag, jnp.zeros((b, b), dt_)],
@@ -102,29 +106,39 @@ def _strips_shardfn(a4, *, nb, nrt, ns):
         return lax.dynamic_update_slice(out, blk[None], (s, jnp.int32(0),
                                                          jnp.int32(0)))
 
-    out0 = jnp.zeros((ns, b, STRIP_W * b), dt_)
+    out0 = jnp.zeros((ns_nb, b, STRIP_W * b), dt_)
     out = lax.fori_loop(0, nrt, body, out0)
-    return lax.psum(lax.psum(out, ROW_AXIS), COL_AXIS)
+    out = lax.psum(lax.psum(out, ROW_AXIS), COL_AXIS)
+    if band != nb:
+        from .band_strips import restripe
+        out = restripe(out, nb, band, ns)
+    return out
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "nrt", "ns", "mesh"))
-def _strips_dist(data, *, nb, nrt, ns, mesh):
+@functools.partial(jax.jit, static_argnames=("nb", "band", "nrt", "ns_nb",
+                                             "ns", "mesh"))
+def _strips_dist(data, *, nb, band, nrt, ns_nb, ns, mesh):
     spec = P(ROW_AXIS, COL_AXIS, None, None)
-    fn = jax.shard_map(functools.partial(_strips_shardfn, nb=nb, nrt=nrt, ns=ns),
+    fn = jax.shard_map(functools.partial(_strips_shardfn, nb=nb, band=band,
+                                         nrt=nrt, ns_nb=ns_nb, ns=ns),
                        mesh=mesh, in_specs=(spec,), out_specs=P(),
                        check_vma=False)
     return fn(data)
 
 
-def strips_from_packed_dist(packed: DistMatrix):
+def strips_from_packed_dist(packed: DistMatrix, band: int | None = None):
     """Replicated strip storage of the band held in a packed stage-1
-    DistMatrix (band == block size). O(n*b) data, one psum."""
+    DistMatrix (band | block size). O(n*band) data, one psum (+ a replicated
+    re-striping pass when band < nb — the reference's 1-D re-distribution,
+    ``get_1d_block_size.h:19-21``)."""
     nb = packed.block_size
+    band = band or nb
     pm = packed.dist.padded_size[0]
     nrt = pm // nb
-    ns = n_strips(pm, nb) + 3     # incl. the Pallas kernel's dead strips
-    return _strips_dist(packed.data, nb=nb, nrt=nrt, ns=ns,
-                        mesh=packed.grid.mesh)
+    ns_nb = n_strips(pm, nb) + 3  # incl. the Pallas kernel's dead strips
+    ns = n_strips(pm, band) + 3
+    return _strips_dist(packed.data, nb=nb, band=band, nrt=nrt, ns_nb=ns_nb,
+                        ns=ns, mesh=packed.grid.mesh)
 
 
 # ---------------------------------------------------------------------------
@@ -268,7 +282,7 @@ def bt_band_to_tridiag_dist(qc, vs, taus, b: int, n_eff: int, mesh,
 # back-transformation: stage-1 panels on column-sharded eigenvectors
 
 
-def _bt_r2b_shardfn(qc, a4, taus, *, nb, npanels, pm):
+def _bt_r2b_shardfn(qc, a4, taus, *, nb, band, npanels, pm):
     a = a4[0, 0]
     dt_ = qc.dtype
     lmt = a.shape[0] // nb
@@ -277,13 +291,13 @@ def _bt_r2b_shardfn(qc, a4, taus, *, nb, npanels, pm):
 
     def panel_step(k, e):
         kk = npanels - 1 - jnp.asarray(k, jnp.int32)
-        j0 = kk * nb
-        r0 = j0 + nb
-        panel = _gather_col_block(a, kk, nb, lmt).astype(dt_)   # (pm, nb)
-        head = r0 + jnp.arange(nb)
+        j0 = kk * band
+        r0 = j0 + band
+        panel = _gather_col_band(a, j0, band, nb, lmt).astype(dt_)  # (pm, band)
+        head = r0 + jnp.arange(band)
         v = jnp.where(rows[:, None] > head[None, :], panel, 0)
         v = v + jnp.where(rows[:, None] == head[None, :], 1.0, 0).astype(dt_)
-        tp = lax.dynamic_slice(taus, (j0,), (nb,)).astype(dt_)
+        tp = lax.dynamic_slice(taus, (j0,), (band,)).astype(dt_)
         t = t_factor(v, tp)
         etop = e[:pm]
         w = jnp.matmul(ct(v), etop, precision=matmul_precision())
@@ -295,25 +309,29 @@ def _bt_r2b_shardfn(qc, a4, taus, *, nb, npanels, pm):
     return lax.fori_loop(0, npanels, panel_step, qc)
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "npanels", "pm", "mesh"))
-def _bt_r2b_dist(qc, data, taus, *, nb, npanels, pm, mesh):
+@functools.partial(jax.jit, static_argnames=("nb", "band", "npanels", "pm",
+                                             "mesh"))
+def _bt_r2b_dist(qc, data, taus, *, nb, band, npanels, pm, mesh):
     fn = jax.shard_map(
-        functools.partial(_bt_r2b_shardfn, nb=nb, npanels=npanels, pm=pm),
+        functools.partial(_bt_r2b_shardfn, nb=nb, band=band, npanels=npanels,
+                          pm=pm),
         mesh=mesh,
         in_specs=(P(None, AXES), P(ROW_AXIS, COL_AXIS, None, None), P()),
         out_specs=P(None, AXES), check_vma=False)
     return fn(qc, data, taus)
 
 
-def bt_reduction_to_band_dist(qc, packed: DistMatrix, taus):
+def bt_reduction_to_band_dist(qc, packed: DistMatrix, taus,
+                              band: int | None = None):
     """E <- Q_stage1 E on a column-sharded E; panels are gathered from the
     packed DistMatrix with the same collectives stage 1 used (reference
     ``bt_reduction_to_band/impl.h:239``)."""
     nb = packed.block_size
+    band = band or nb
     pm = packed.dist.padded_size[0]
-    npanels = max(pm // nb - 1, 0)
-    return _bt_r2b_dist(qc, packed.data, taus, nb=nb, npanels=npanels, pm=pm,
-                        mesh=packed.grid.mesh)
+    npanels = max(pm // band - 1, 0)
+    return _bt_r2b_dist(qc, packed.data, taus, nb=nb, band=band,
+                        npanels=npanels, pm=pm, mesh=packed.grid.mesh)
 
 
 # ---------------------------------------------------------------------------

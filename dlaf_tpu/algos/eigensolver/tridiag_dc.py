@@ -269,30 +269,37 @@ def _merge(d, z, rho, tol_scale, laed4_iter):
     return lam, zhat, ds, perm, root, deflated, rots, dd
 
 
-def _merge_vectors(qleft, qright, lam, zhat, perm, root, deflated, rots, dd):
-    """Assemble eigenvectors after a merge and sort ascending."""
+def _merge_vectors(qleft_t, qright_t, lam, zhat, perm, root, deflated, rots, dd):
+    """Assemble eigenvectors after a merge and sort ascending.
+
+    The eigenvector matrix is carried TRANSPOSED (qT[j, r] = q[r, j]):
+    deflation rotations and permutations act on *columns* of q, which on TPU
+    are the (slow) minor/lane dimension — in transposed storage they become
+    fast major-dimension row slices/gathers, and the final MXU contraction
+    consumes qT directly via dot_general (no materialized transpose).
+    """
     n = lam.shape[0]
     dt = lam.dtype
-    n1 = qleft.shape[0]
-    q = jnp.zeros((n, n), dt)
-    q = q.at[:n1, :n1].set(qleft)
-    q = q.at[n1:, n1:].set(qright)
-    q = q[:, perm]
+    n1 = qleft_t.shape[0]
+    qt = jnp.zeros((n, n), dt)
+    qt = qt.at[:n1, :n1].set(qleft_t)
+    qt = qt.at[n1:, n1:].set(qright_t)
+    qt = qt[perm, :]                    # q[:, perm] in transposed storage
 
-    def apply_rot(q, rot):
+    def apply_rot(qt, rot):
         c, s, pi, i = rot
         valid = pi >= 0
         pi_ = jnp.maximum(pi, 0)
         zero = jnp.zeros((), pi_.dtype)
-        colp = lax.dynamic_slice(q, (zero, pi_), (n, 1))
-        coli = lax.dynamic_slice(q, (zero, i), (n, 1))
-        newp = c * colp + s * coli
-        newi = -s * colp + c * coli
-        q = lax.dynamic_update_slice(q, jnp.where(valid, newp, colp), (zero, pi_))
-        q = lax.dynamic_update_slice(q, jnp.where(valid, newi, coli), (zero, i))
-        return q, None
+        rowp = lax.dynamic_slice(qt, (pi_, zero), (1, n))
+        rowi = lax.dynamic_slice(qt, (i, zero), (1, n))
+        newp = c * rowp + s * rowi
+        newi = -s * rowp + c * rowi
+        qt = lax.dynamic_update_slice(qt, jnp.where(valid, newp, rowp), (pi_, zero))
+        qt = lax.dynamic_update_slice(qt, jnp.where(valid, newi, rowi), (i, zero))
+        return qt, None
 
-    q, _ = lax.scan(apply_rot, q, rots)
+    qt, _ = lax.scan(apply_rot, qt, rots)
 
     # rank-one eigenvectors: qv[j, i] = zhat_j / (ds_j - lam_i), with the
     # denominator formed through the anchored root representation
@@ -308,9 +315,12 @@ def _merge_vectors(qleft, qright, lam, zhat, perm, root, deflated, rots, dd):
     qv = qv / jnp.where(norm > 0, norm, 1.0)
     qv = jnp.where(deflated[None, :], jnp.eye(n, dtype=dt), qv)
 
-    qnew = jnp.matmul(q, qv, precision=matmul_precision())
+    # qnew[r, i] = sum_j q[r, j] qv[j, i]  ->  transposed result directly:
+    # qnewT[i, r] = sum_j qv[j, i] qT[j, r]  (contract leading dims on MXU)
+    qnew_t = lax.dot_general(qv, qt, (((0,), (0,)), ((), ())),
+                             precision=matmul_precision())
     order = jnp.argsort(lam)
-    return lam[order], qnew[:, order]
+    return lam[order], qnew_t[order, :]
 
 
 # ---------------------------------------------------------------------------
@@ -364,6 +374,7 @@ def _tridiag_dc_padded(d, e, laed4_iter, mesh=None):
 
     tmats = jax.vmap(leaf_dense)(dleaf, eleaf)
     lam, q = jax.vmap(_jacobi_eigh)(tmats)
+    q = jnp.swapaxes(q, 1, 2)           # transposed storage (see _merge_vectors)
     lam, q = constrain(lam, q)
 
     tol_scale = jnp.max(jnp.abs(d)) + 2 * jnp.max(jnp.abs(e))
@@ -379,8 +390,8 @@ def _tridiag_dc_padded(d, e, laed4_iter, mesh=None):
         theta = jnp.where(ecut >= 0, 1.0, -1.0).astype(dt)
 
         dcat = jnp.concatenate([lam1, lam2], axis=1)
-        z1 = theta[:, None] * q1[:, -1, :]
-        z2 = q2[:, 0, :]
+        z1 = theta[:, None] * q1[:, :, -1]   # last row of q1 (transposed)
+        z2 = q2[:, :, 0]                     # first row of q2 (transposed)
         zcat = jnp.concatenate([z1, z2], axis=1)
 
         def do_merge(dv, zv, rv, q1v, q2v):
@@ -392,7 +403,7 @@ def _tridiag_dc_padded(d, e, laed4_iter, mesh=None):
         lam, q = constrain(lam, q)
         size *= 2
 
-    return lam[0], q[0]
+    return lam[0], q[0].T
 
 
 def tridiag_eigh(d, e, laed4_iter: int = 120, mesh=None):

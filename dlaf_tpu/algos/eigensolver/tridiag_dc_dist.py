@@ -241,11 +241,17 @@ def _dc_dist_shardfn(d, e, *, laed4_iter, levels, nblocks, D):
     tol_scale = jnp.max(jnp.abs(d)) + 2 * jnp.max(jnp.abs(e))
 
     # ---- initial local layout -------------------------------------------
+    # Eigenvector blocks are carried TRANSPOSED throughout (see
+    # tridiag_dc._merge_vectors): column rotations/permutations become fast
+    # major-dimension row ops on TPU. Mode A holds transposed (size, size)
+    # batches; mode B holds qt_loc = Q^T[:, row-block] of shape
+    # (size, rows_loc) — i.e. the device's row shard of Q, transposed.
     mode_a = nblocks >= D
     if mode_a:
         nb_loc = nblocks // D
-        q_loc = lax.dynamic_slice(q_leaf, (did * nb_loc, Z, Z),
-                                  (nb_loc, LEAF, LEAF))
+        q_loc = jnp.swapaxes(
+            lax.dynamic_slice(q_leaf, (did * nb_loc, Z, Z),
+                              (nb_loc, LEAF, LEAF)), 1, 2)
         lam_loc = lax.dynamic_slice(lam_all, (did * nb_loc, Z), (nb_loc, LEAF))
     else:
         g0 = D // nblocks
@@ -253,7 +259,7 @@ def _dc_dist_shardfn(d, e, *, laed4_iter, levels, nblocks, D):
         bi = did // g0
         gi = did % g0
         q_loc = lax.dynamic_slice(q_leaf, (bi, gi * rows0, Z),
-                                  (1, rows0, LEAF))[0]     # (rows0, LEAF)
+                                  (1, rows0, LEAF))[0].T   # (LEAF, rows0)
         lam_loc = None
 
     size = LEAF
@@ -271,8 +277,8 @@ def _dc_dist_shardfn(d, e, *, laed4_iter, levels, nblocks, D):
             rho = jnp.abs(ecut)
             theta = jnp.where(ecut >= 0, 1.0, -1.0).astype(dtv)
             dcat = jnp.concatenate([lam1, lam2], axis=1)
-            zcat = jnp.concatenate([theta[:, None] * q1[:, -1, :],
-                                    q2[:, 0, :]], axis=1)
+            zcat = jnp.concatenate([theta[:, None] * q1[:, :, -1],
+                                    q2[:, :, 0]], axis=1)  # rows, transposed
 
             def do_merge(dv, zv, rv, q1v, q2v):
                 lamv, zhat, _ds, perm, mu, defl, rots, dd = _merge(
@@ -287,7 +293,8 @@ def _dc_dist_shardfn(d, e, *, laed4_iter, levels, nblocks, D):
             g_old = g_new // 2
             if lam_loc is not None:
                 # transition A -> B (here nbatch == D, one batch per device):
-                # replicate the eigenvalues
+                # replicate the eigenvalues; the transposed (size, size) batch
+                # is already qt_loc with rows_loc == size
                 buf = jnp.zeros((nbatch, size), dtv)
                 buf = lax.dynamic_update_slice(buf, lam_loc[0][None], (did, Z))
                 lam_all = lax.psum(lax.psum(buf, ROW_AXIS), COL_AXIS)
@@ -295,7 +302,7 @@ def _dc_dist_shardfn(d, e, *, laed4_iter, levels, nblocks, D):
                 rows_loc = size
                 q_loc = q_loc[0]
             else:
-                rows_loc = q_loc.shape[0]
+                rows_loc = q_loc.shape[1]
             ob = did // max(g_old, 1)                       # old batch id
             half = ob % 2
             gi_old = did % max(g_old, 1)
@@ -310,8 +317,8 @@ def _dc_dist_shardfn(d, e, *, laed4_iter, levels, nblocks, D):
             zbuf = jnp.zeros((nb_new, 2 * size), dtv)
             own_last = (half == 0) & (gi_old == max(g_old, 1) - 1)
             own_first = (half == 1) & (gi_old == 0)
-            zrow = jnp.where(own_last, theta[j] * q_loc[-1], 0.0)
-            zrow2 = jnp.where(own_first, q_loc[0], 0.0)
+            zrow = jnp.where(own_last, theta[j] * q_loc[:, -1], 0.0)
+            zrow2 = jnp.where(own_first, q_loc[:, 0], 0.0)
             contrib = jnp.concatenate([zrow, zrow2])
             zbuf = lax.dynamic_update_slice(zbuf, contrib[None], (j, Z))
             z_all = lax.psum(lax.psum(zbuf, ROW_AXIS), COL_AXIS)
@@ -369,26 +376,28 @@ def _dc_dist_shardfn(d, e, *, laed4_iter, levels, nblocks, D):
             lam_all = lax.psum(lax.psum(lbuf, ROW_AXIS), COL_AXIS)
 
             # ---- local eigenvector update (zero communication) ----------
-            # embed [[Q1, 0], [0, Q2]] — a no-op on row shards
+            # embed [[Q1, 0], [0, Q2]] — a no-op on row shards; in the
+            # transposed storage the embedding stacks along axis 0
             zeros = jnp.zeros_like(q_loc)
             q_emb = jnp.where(half == 0,
-                              jnp.concatenate([q_loc, zeros], axis=1),
-                              jnp.concatenate([zeros, q_loc], axis=1))
-            # deflation Givens rotations, translated to pre-perm columns
+                              jnp.concatenate([q_loc, zeros], axis=0),
+                              jnp.concatenate([zeros, q_loc], axis=0))
+            # deflation Givens rotations on columns of Q = rows of Q^T,
+            # translated to pre-perm column indices
             def apply_rot(qm, rot):
                 c, s, pi, i = rot
                 valid = pi >= 0
                 pi_o = perm[jnp.maximum(pi, 0)]
                 i_o = perm[i]
                 zero = jnp.zeros((), i_o.dtype)
-                colp = lax.dynamic_slice(qm, (zero, pi_o), (rows_loc, 1))
-                coli = lax.dynamic_slice(qm, (zero, i_o), (rows_loc, 1))
-                newp = c * colp + s * coli
-                newi = -s * colp + c * coli
+                rowp = lax.dynamic_slice(qm, (pi_o, zero), (1, rows_loc))
+                rowi = lax.dynamic_slice(qm, (i_o, zero), (1, rows_loc))
+                newp = c * rowp + s * rowi
+                newi = -s * rowp + c * rowi
                 qm = lax.dynamic_update_slice(
-                    qm, jnp.where(valid, newp, colp), (zero, pi_o))
+                    qm, jnp.where(valid, newp, rowp), (pi_o, zero))
                 qm = lax.dynamic_update_slice(
-                    qm, jnp.where(valid, newi, coli), (zero, i_o))
+                    qm, jnp.where(valid, newi, rowi), (i_o, zero))
                 return qm, None
 
             q_emb, _ = lax.scan(apply_rot, q_emb, rots)
@@ -419,17 +428,19 @@ def _dc_dist_shardfn(d, e, *, laed4_iter, levels, nblocks, D):
                                qv)
                 return qv
 
-            acc = jnp.zeros((rows_loc, 2 * size), dtv)
-            nrm = jnp.zeros((1, 2 * size), dtv)
+            # acc^T[i, r] = sum_c qv[c, i] q_emb^T[c, r]: contract the leading
+            # dims on the MXU, keeping the transposed storage throughout
+            acc = jnp.zeros((2 * size, rows_loc), dtv)
+            nrm = jnp.zeros((2 * size, 1), dtv)
 
             def gemm_step(k, carry):
                 acc, nrm = carry
                 c0 = k * csz
                 qv = qv_chunk(c0)
-                acc = acc + jnp.matmul(
-                    lax.dynamic_slice(q_emb, (0, c0), (rows_loc, csz)), qv,
-                    precision=matmul_precision())
-                nrm = nrm + jnp.sum(qv * qv, axis=0, keepdims=True)
+                acc = acc + lax.dot_general(
+                    qv, lax.dynamic_slice(q_emb, (c0, 0), (csz, rows_loc)),
+                    (((0,), (0,)), ((), ())), precision=matmul_precision())
+                nrm = nrm + jnp.sum(qv * qv, axis=0)[:, None]
                 return acc, nrm
 
             acc, nrm = lax.fori_loop(0, g_new, gemm_step, (acc, nrm))
@@ -441,15 +452,17 @@ def _dc_dist_shardfn(d, e, *, laed4_iter, levels, nblocks, D):
 
     if lam_loc is not None:     # never entered mode B (D == 1 or tiny)
         lam_all = lam_loc
-        q_fin = q_loc[0]
+        q_fin = q_loc[0]        # transposed (m, m)
     else:
-        q_fin = q_loc
-    # row shards -> column shards: one all-to-all over the flat device axis
+        q_fin = q_loc           # qt_loc (m, rows_loc)
+    # Q^T column shards -> Q column shards: one all-to-all over the flat
+    # device axis plus a LOCAL shard transpose (device g receives
+    # Q^T[g*m/D:(g+1)*m/D, :], whose transpose is exactly Q[:, g-th block])
     if D > 1:
-        q_cols = lax.all_to_all(q_fin, AXES, split_axis=1, concat_axis=0,
-                                tiled=True)
+        q_cols = lax.all_to_all(q_fin, AXES, split_axis=0, concat_axis=1,
+                                tiled=True).T
     else:
-        q_cols = q_fin
+        q_cols = q_fin.T
     return lam_all.reshape(m), q_cols
 
 

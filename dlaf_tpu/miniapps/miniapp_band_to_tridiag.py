@@ -24,7 +24,16 @@ def main(argv=None):
     mask = jnp.abs(rows[:, None] - rows[None, :]) <= band
     bandm = jnp.where(mask, a, 0)
 
-    fn = functools.partial(band_to_tridiag, bandm, band)
+    grid = options.grid_of(args)
+    if grid is not None:
+        from dlaf_tpu.algos.eigensolver.band_strips import band_to_strips
+        from dlaf_tpu.algos.eigensolver.dist_stage23 import band_to_tridiag_dist
+        strips = band_to_strips(bandm, band)
+        # 3 trailing dead strips for the Pallas wavefront kernel
+        strips = jnp.pad(strips, ((0, 3), (0, 0), (0, 0)))
+        fn = functools.partial(band_to_tridiag_dist, strips, n, band, grid.mesh)
+    else:
+        fn = functools.partial(band_to_tridiag, bandm, band)
 
     def check(out):
         d, e, _, _ = out

@@ -21,10 +21,24 @@ def main(argv=None):
     a = gen.random_hermitian(jax.random.PRNGKey(0), n, dtype)
     rows = jnp.arange(n)
     bandm = jnp.where(jnp.abs(rows[:, None] - rows[None, :]) <= band, a, 0)
-    d, e, vs, taus = band_to_tridiag(bandm, band)
     emat = gen.random_general(jax.random.PRNGKey(1), (n, n), dtype)
 
-    fn = functools.partial(bt_band_to_tridiag, emat, vs, taus, band)
+    grid = options.grid_of(args)
+    if grid is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from dlaf_tpu.algos.eigensolver.band_strips import band_to_strips
+        from dlaf_tpu.algos.eigensolver.dist_stage23 import (
+            band_to_tridiag_dist, bt_band_to_tridiag_dist)
+        from dlaf_tpu.comm.mesh import COL_AXIS, ROW_AXIS
+        strips = jnp.pad(band_to_strips(bandm, band), ((0, 3), (0, 0), (0, 0)))
+        _, _, vs, taus = band_to_tridiag_dist(strips, n, band, grid.mesh)
+        qc = jax.device_put(emat, NamedSharding(
+            grid.mesh, P(None, (ROW_AXIS, COL_AXIS))))
+        fn = functools.partial(bt_band_to_tridiag_dist, qc, vs, taus, band,
+                               n, grid.mesh)
+    else:
+        _, _, vs, taus = band_to_tridiag(bandm, band)
+        fn = functools.partial(bt_band_to_tridiag, emat, vs, taus, band)
     # 2 * 2 * n * nev flops per reflector row-block application ~ 4 n^2 nev / b
     options.run_timed(args, fn, 0)
 

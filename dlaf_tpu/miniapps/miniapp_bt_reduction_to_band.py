@@ -5,6 +5,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 
 from dlaf_tpu.algos.eigensolver.bt import bt_reduction_to_band
 from dlaf_tpu.algos.eigensolver.red2band import reduction_to_band
@@ -22,10 +23,25 @@ def main(argv=None):
         raise SystemExit("matrix-size must be a multiple of band-size")
     dtype = options.dtype_of(args)
     a = gen.random_hermitian(jax.random.PRNGKey(0), n, dtype)
-    packed, taus = reduction_to_band(a, band)
     emat = gen.random_general(jax.random.PRNGKey(1), (n, n), dtype)
 
-    fn = functools.partial(bt_reduction_to_band, emat, packed, taus, band)
+    grid = options.grid_of(args)
+    if grid is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from dlaf_tpu.algos.eigensolver.dist_red2band import reduction_to_band_dist
+        from dlaf_tpu.algos.eigensolver.dist_stage23 import bt_reduction_to_band_dist
+        from dlaf_tpu.comm.mesh import COL_AXIS, ROW_AXIS
+        from dlaf_tpu.matrix.dist_matrix import DistMatrix
+        dm = DistMatrix.from_global(a, band, grid)
+        packed, taus = reduction_to_band_dist(dm)
+        pm = packed.dist.padded_size[0]
+        qc = jnp.pad(emat, ((0, pm - n), (0, pm - n)))
+        qc = jax.device_put(qc, NamedSharding(
+            grid.mesh, P(None, (ROW_AXIS, COL_AXIS))))
+        fn = functools.partial(bt_reduction_to_band_dist, qc, packed, taus)
+    else:
+        packed, taus = reduction_to_band(a, band)
+        fn = functools.partial(bt_reduction_to_band, emat, packed, taus, band)
     flops = total_ops(dtype, 2 * n**3, 2 * n**3)  # ~4 n^2 nev with nev = n
     options.run_timed(args, fn, flops)
 

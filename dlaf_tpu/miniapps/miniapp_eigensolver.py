@@ -21,11 +21,19 @@ def main(argv=None):
     a = gen.random_hermitian(jax.random.PRNGKey(0), n, dtype)
     band = args.band_size
 
-    fn = functools.partial(dt.eigh, a, uplo=args.uplo, band=band)
+    grid = options.grid_of(args)
+    if grid is not None:
+        from dlaf_tpu.algos.eigensolver.dist_driver import eigh_dist
+        from dlaf_tpu.matrix.dist_matrix import DistMatrix
+        dm = DistMatrix.from_global(a, args.block_size, grid)
+        fn = functools.partial(eigh_dist, dm)
+        get = lambda out: (np.asarray(out[0]), np.asarray(out[1].to_global()))
+    else:
+        fn = functools.partial(dt.eigh, a, uplo=args.uplo, band=band)
+        get = lambda out: (np.asarray(out[0]), np.asarray(out[1]))
 
     def check(out):
-        w, v = out
-        w, v = np.asarray(w), np.asarray(v)
+        w, v = get(out)
         an = np.asarray(a)
         c = max(np.max(np.abs(an)), 1.0)
         orth = np.max(np.abs(v.conj().T @ v - np.eye(n)))

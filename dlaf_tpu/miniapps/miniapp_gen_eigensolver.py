@@ -20,11 +20,20 @@ def main(argv=None):
     a = gen.random_hermitian(jax.random.PRNGKey(0), n, dtype)
     b = gen.random_hermitian_positive_definite(jax.random.PRNGKey(1), n, dtype)
 
-    fn = functools.partial(dt.eigh_gen, a, b, uplo=args.uplo)
+    grid = options.grid_of(args)
+    if grid is not None:
+        from dlaf_tpu.algos.eigensolver.dist_driver import eigh_gen_dist
+        from dlaf_tpu.matrix.dist_matrix import DistMatrix
+        da = DistMatrix.from_global(a, args.block_size, grid)
+        db = DistMatrix.from_global(b, args.block_size, grid, pad_identity=True)
+        fn = functools.partial(eigh_gen_dist, da, db)
+        get = lambda out: (np.asarray(out[0]), np.asarray(out[1].to_global()))
+    else:
+        fn = functools.partial(dt.eigh_gen, a, b, uplo=args.uplo)
+        get = lambda out: (np.asarray(out[0]), np.asarray(out[1]))
 
     def check(out):
-        w, x = out
-        w, x = np.asarray(w), np.asarray(x)
+        w, x = get(out)
         an, bn = np.asarray(a), np.asarray(b)
         c = max(np.max(np.abs(an)), 1.0)
         res = np.max(np.abs(an @ x - bn @ x * w[None, :]))

@@ -23,11 +23,21 @@ def main(argv=None):
     dtype = options.dtype_of(args)
     a = gen.random_hermitian(jax.random.PRNGKey(0), n, dtype)
 
-    fn = functools.partial(reduction_to_band, a, band)
+    grid = options.grid_of(args)
+    if grid is not None:
+        # distributed stage 1 uses band == distribution block size
+        from dlaf_tpu.algos.eigensolver.dist_red2band import reduction_to_band_dist
+        from dlaf_tpu.matrix.dist_matrix import DistMatrix
+        dm = DistMatrix.from_global(a, band, grid)
+        fn = functools.partial(reduction_to_band_dist, dm)
+        get_packed = lambda out: np.asarray(out[0].to_global())
+    else:
+        fn = functools.partial(reduction_to_band, a, band)
+        get_packed = lambda out: np.asarray(out[0])
     flops = total_ops(dtype, 2 * n**3 / 3, 2 * n**3 / 3)
 
     def check(out):
-        packed, _ = out
+        packed = get_packed(out)
         bandm = np.asarray(extract_band(packed, band))
         ev = np.linalg.eigvalsh(bandm)
         ref = np.linalg.eigvalsh(np.asarray(a))

@@ -21,11 +21,24 @@ def main(argv=None):
     d = gen.random_general(key, (n,), dtype)
     e = gen.random_general(jax.random.PRNGKey(1), (max(n - 1, 1),), dtype)[: n - 1]
 
-    fn = functools.partial(tridiag_eigh, d, e)
+    grid = options.grid_of(args)
+    if grid is not None:
+        from dlaf_tpu.algos.eigensolver.tridiag_dc_dist import (
+            dc_dist_supported, tridiag_eigh_dist)
+        ndev = grid.mesh.devices.size
+        if dc_dist_supported(n, ndev):
+            fn = functools.partial(tridiag_eigh_dist, d, e, grid.mesh)
+            get = lambda out: (np.asarray(out[0])[:n],
+                               np.asarray(out[1])[:n, :n])
+        else:
+            fn = functools.partial(tridiag_eigh, d, e, mesh=grid.mesh)
+            get = lambda out: (np.asarray(out[0]), np.asarray(out[1]))
+    else:
+        fn = functools.partial(tridiag_eigh, d, e)
+        get = lambda out: (np.asarray(out[0]), np.asarray(out[1]))
 
     def check(out):
-        lam, q = out
-        lam, q = np.asarray(lam), np.asarray(q)
+        lam, q = get(out)
         t = np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1) + np.diag(np.asarray(e), -1)
         orth = np.max(np.abs(q.T @ q - np.eye(n)))
         res = np.max(np.abs(t @ q - q * lam[None, :]))

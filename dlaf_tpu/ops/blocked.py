@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from ..types import Trans
 from .core import ct, mm, op_mat, set_tri, symmetrize_tri, take_tri
+from .householder import tri_inv
 from .leaf import potrf_leaf, trsm_leaf
 
 
@@ -50,23 +51,46 @@ def potrf_lower(a, nb: int, clean: bool = True):
     """
     n = a.shape[0]
     assert n % nb == 0, (n, nb)
+    invd = jnp.zeros((n // nb, min(nb, n), min(nb, n)), a.dtype)
 
-    def rec(a, o, s):
+    def rec(a, invd, o, s):
         if s <= nb:
-            return a.at[o:o + s, o:o + s].set(potrf_leaf(a[o:o + s, o:o + s]))
+            f = potrf_leaf(a[o:o + s, o:o + s])
+            # invert the diagonal tile ONCE at factorization time; every
+            # panel solve above reuses it (cuBLAS inverted-diagonal scheme)
+            invd = invd.at[o // nb].set(tri_inv(f, lower=True, nb=64))
+            return a.at[o:o + s, o:o + s].set(f), invd
         s1 = _split(s, nb)
-        a = rec(a, o, s1)
+        a, invd = rec(a, invd, o, s1)
         # A21 <- A21 L11^-H (tile::trsm Right/Lower/ConjTrans, blas/tile.h:473)
-        l21 = trsm(a[o + s1:o + s, o:o + s1], a[o:o + s1, o:o + s1],
-                   side="R", lower=True, trans="C", unit=False, nb=nb)
+        l21 = _trsm_right_lc_preinv(a[o + s1:o + s, o:o + s1], a, invd, o, s1, nb)
         a = a.at[o + s1:o + s, o:o + s1].set(l21)
         # A22 <- A22 - L21 L21^H (tile::herk trailing update)
         a = _herk_inplace(a, o + s1, s - s1, l21, lower=True, trans="N",
                           alpha=-1.0, beta=1.0, nb=nb)
-        return rec(a, o + s1, s - s1)
+        return rec(a, invd, o + s1, s - s1)
 
-    a = rec(a, 0, n)
+    a, _ = rec(a, invd, 0, n)
     return jnp.tril(a) if clean else a
+
+
+def _trsm_right_lc_preinv(b, a, invd, o, s, nb):
+    """X L^H = B with L = a[o:o+s, o:o+s] (lower, factored): the forward
+    column recursion of ``_trsm_right`` with each diagonal leaf solve
+    replaced by one GEMM against the precomputed tile inverse."""
+
+    def rec(b, oo, ss):
+        if ss <= nb:
+            inv = invd[(o + oo) // nb]
+            return b.at[:, oo:oo + ss].set(
+                mm(b[:, oo:oo + ss], ct(inv)))
+        s1 = _split(ss, nb)
+        b = rec(b, oo, s1)
+        off = a[o + oo + s1:o + oo + ss, o + oo:o + oo + s1]
+        b = b.at[:, oo + s1:oo + ss].add(-mm(b[:, oo:oo + s1], ct(off)))
+        return rec(b, oo + s1, ss - s1)
+
+    return rec(b, 0, s)
 
 
 def potrf_upper(a, nb: int, clean: bool = True):
@@ -83,24 +107,44 @@ def potrf_upper(a, nb: int, clean: bool = True):
     """
     n = a.shape[0]
     assert n % nb == 0, (n, nb)
+    invd = jnp.zeros((n // nb, min(nb, n), min(nb, n)), a.dtype)
 
-    def rec(a, o, s):
+    def rec(a, invd, o, s):
         if s <= nb:
             blk = a[o:o + s, o:o + s]
-            return a.at[o:o + s, o:o + s].set(potrf_leaf(blk, upper=True))
+            f = potrf_leaf(blk, upper=True)
+            invd = invd.at[o // nb].set(tri_inv(f, lower=False, nb=64))
+            return a.at[o:o + s, o:o + s].set(f), invd
         s1 = _split(s, nb)
-        a = rec(a, o, s1)
+        a, invd = rec(a, invd, o, s1)
         # A12 <- U11^{-H} A12 (left solve with the stored-upper factor)
-        u12 = trsm(a[o:o + s1, o + s1:o + s], a[o:o + s1, o:o + s1],
-                   side="L", lower=False, trans="C", unit=False, nb=nb)
+        u12 = _trsm_left_uc_preinv(a[o:o + s1, o + s1:o + s], a, invd, o, s1, nb)
         a = a.at[o:o + s1, o + s1:o + s].set(u12)
         # A22 <- A22 - U12^H U12
         a = _herk_inplace(a, o + s1, s - s1, u12, lower=False, trans="C",
                           alpha=-1.0, beta=1.0, nb=nb)
-        return rec(a, o + s1, s - s1)
+        return rec(a, invd, o + s1, s - s1)
 
-    a = rec(a, 0, n)
+    a, _ = rec(a, invd, 0, n)
     return jnp.triu(a) if clean else a
+
+
+def _trsm_left_uc_preinv(b, a, invd, o, s, nb):
+    """U^H X = B with U = a[o:o+s, o:o+s] (upper, factored): the forward row
+    recursion of ``_trsm_left`` with each diagonal leaf solve replaced by one
+    GEMM against the precomputed tile inverse."""
+
+    def rec(b, oo, ss):
+        if ss <= nb:
+            inv = invd[(o + oo) // nb]
+            return b.at[oo:oo + ss].set(mm(ct(inv), b[oo:oo + ss]))
+        s1 = _split(ss, nb)
+        b = rec(b, oo, s1)
+        off = a[o + oo:o + oo + s1, o + oo + s1:o + oo + ss]
+        b = b.at[oo + s1:oo + ss].add(-mm(ct(off), b[oo:oo + s1]))
+        return rec(b, oo + s1, ss - s1)
+
+    return rec(b, 0, s)
 
 
 # ---------------------------------------------------------------------------

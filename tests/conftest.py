@@ -1,25 +1,45 @@
 """Test configuration.
 
-Tests run on CPU with 8 virtual XLA devices so distributed (mesh) paths are
-exercised without TPU hardware — the analog of the reference's
-``mpiexec -n 6`` single-machine MPI testing (``cmake/DLAF_AddTest.cmake``).
-x64 is enabled so float64/complex128 coverage matches the reference's
-``{s,d,c,z}`` dtype matrix.
+Default lane: tests run on CPU with 8 virtual XLA devices so distributed
+(mesh) paths are exercised without TPU hardware — the analog of the
+reference's ``mpiexec -n 6`` single-machine MPI testing
+(``cmake/DLAF_AddTest.cmake``). x64 is enabled so float64/complex128
+coverage matches the reference's ``{s,d,c,z}`` dtype matrix.
+
+TPU lane: ``DLAF_TPU_TESTS=1 python -m pytest tests -m tpu`` keeps the real
+TPU backend (no platform override, f32 only) and runs the ``tpu``-marked
+hardware tests — Pallas kernels and the local drivers on the actual chip.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+TPU_LANE = os.environ.get("DLAF_TPU_TESTS") == "1"
+
+if not TPU_LANE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-# jax may already be imported by the environment's sitecustomize with the TPU
-# platform cached — override via config (env vars alone are too late).
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
-jax.config.update("jax_enable_x64", True)
+if not TPU_LANE:
+    # jax may already be imported by the environment's sitecustomize with the
+    # TPU platform cached — override via config (env vars alone are too late).
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    skip_tpu = pytest.mark.skip(reason="tpu-marked test; backend is not TPU")
+    skip_cpu = pytest.mark.skip(reason="CPU-lane test; running the TPU lane")
+    for item in items:
+        if "tpu" in item.keywords:
+            if not (TPU_LANE and on_tpu):
+                item.add_marker(skip_tpu)
+        elif TPU_LANE:
+            item.add_marker(skip_cpu)
 
 
 @pytest.fixture(params=["float32", "float64", "complex64", "complex128"])

@@ -1,0 +1,95 @@
+"""Hardware (TPU) test lane — run with ``DLAF_TPU_TESTS=1 pytest -m tpu``.
+
+Covers exactly what the CPU lane cannot: the Pallas MXU kernels and the
+local drivers compiled for the real chip (incl. the axon-backend kernel
+auto-selection). Sizes are modest so the lane stays a fast gate; bench.py
+covers performance at scale.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.tpu
+
+F32 = jnp.float32
+
+
+def _spd(n, key=0):
+    m = jax.random.normal(jax.random.PRNGKey(key), (n, n), F32)
+    return (m @ m.T) / n + 2.0 * jnp.eye(n, dtype=F32)
+
+
+def test_pallas_potrf_tile():
+    from dlaf_tpu.ops.pallas.potrf import potrf_tile
+    a = _spd(256)
+    for upper in (False, True):
+        f = np.asarray(potrf_tile(a, upper=upper))
+        rec = f.T @ f if upper else f @ f.T
+        assert np.max(np.abs(rec - np.asarray(a))) < 1e-4
+
+
+def test_pallas_trsm_tile():
+    from dlaf_tpu.ops.pallas.trsm import trsm_tile
+    a = _spd(256)
+    l = np.linalg.cholesky(np.asarray(a))
+    b = jax.random.normal(jax.random.PRNGKey(1), (256, 128), F32)
+    x = np.asarray(trsm_tile(jnp.asarray(l), b, left=True, lower=True,
+                             trans="N", unit=False))
+    assert np.max(np.abs(l @ x - np.asarray(b))) < 1e-3
+
+
+def test_local_potrf_residual():
+    import dlaf_tpu as dt
+    n = 2048
+    a = _spd(n)
+    for uplo in ("L", "U"):
+        f = np.asarray(dt.potrf(a, uplo=uplo, nb=256))
+        rec = f @ f.T if uplo == "L" else f.T @ f
+        res = np.max(np.abs(rec - np.asarray(a)))
+        assert res < 1e-3, (uplo, res)
+
+
+def test_pallas_band2tridiag_strips():
+    from dlaf_tpu.algos.eigensolver.band_strips import (
+        band_to_strips, band_to_tridiag_strips)
+    from dlaf_tpu.ops.pallas.band2tridiag import band_to_tridiag_strips_pallas
+    n, b = 512, 32
+    a = _spd(n)
+    rows = jnp.arange(n)
+    bandm = jnp.where(jnp.abs(rows[:, None] - rows[None, :]) <= b, a, 0)
+    strips = band_to_strips(bandm, b)
+    strips_p = jnp.pad(strips, ((0, 3), (0, 0), (0, 0)))
+    d_ref, e_ref, _, _ = band_to_tridiag_strips(strips, n, b)
+    d, e, _, _ = band_to_tridiag_strips_pallas(strips_p, n, b)
+    ev = np.linalg.eigvalsh(np.diag(np.asarray(d)[:n]) +
+                            np.diag(np.asarray(e)[:n - 1], 1) +
+                            np.diag(np.asarray(e)[:n - 1], -1))
+    ref = np.linalg.eigvalsh(np.asarray(bandm))
+    assert np.max(np.abs(ev - ref)) / max(np.max(np.abs(ref)), 1) < 1e-4
+
+
+def test_local_eigh_residual():
+    import dlaf_tpu as dt
+    n = 512
+    a = _spd(n)
+    w, v = dt.eigh(a)
+    w, v = np.asarray(w), np.asarray(v)
+    an = np.asarray(a)
+    orth = np.max(np.abs(v.T @ v - np.eye(n)))
+    res = np.max(np.abs(an @ v - v * w[None, :]))
+    assert orth < 5e-3 and res < 5e-3, (orth, res)
+
+
+def test_tridiag_dc():
+    from dlaf_tpu.algos.eigensolver.tridiag_dc import tridiag_eigh
+    n = 1024
+    d = jax.random.normal(jax.random.PRNGKey(0), (n,), F32)
+    e = jax.random.normal(jax.random.PRNGKey(1), (n - 1,), F32)
+    lam, q = tridiag_eigh(d, e)
+    lam, q = np.asarray(lam), np.asarray(q)
+    t = np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1) + \
+        np.diag(np.asarray(e), -1)
+    assert np.max(np.abs(t @ q - q * lam[None, :])) < 5e-3
+    assert np.max(np.abs(q.T @ q - np.eye(n))) < 5e-3
