@@ -1,6 +1,9 @@
-"""Headline benchmark: POTRF throughput on one chip at n = 32768.
+"""Headline benchmark: POTRF throughput on one chip at n = 32768,
+plus the HEEV (eigh) wall time at n = 8192 with residual gates.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (POTRF, the
+driver contract), with the HEEV numbers under the extra "heev" key; the full
+set is also written to BENCH_EXTRA.json.
 ``vs_baseline`` = POTRF sustained TFLOP/s divided by the measured GEMM
 ceiling at the same matmul precision — i.e. fraction of practical MXU peak
 (BASELINE.md target: >= 0.70 of MXU peak at n = 32768).
@@ -85,12 +88,41 @@ def main():
     t = _time_donated(potrf_fn, lambda: mk_a(a), ovh)
     tflops = (n**3 / 3) / t / 1e12
 
-    print(json.dumps({
+    # HEEV: wall time + the reference's correctness gates
+    # (test_eigensolver_correctness.h:71-96: ||E^H E - I|| and ||AE - E Lam||
+    # scaled by n * eps)
+    import numpy as np
+    ne = 8192
+    ah = gen.random_hermitian(jax.random.PRNGKey(2), ne, jnp.float32)
+    eigh_fn = jax.jit(lambda x: dt.eigh(x))
+    w, v = eigh_fn(ah)
+    _sync(v)
+    t0 = time.perf_counter()
+    w, v = eigh_fn(ah)
+    _sync(v)
+    t_eigh = time.perf_counter() - t0 - ovh
+    wn, vn = np.asarray(w), np.asarray(v)
+    an = np.asarray(ah)
+    orth = float(np.max(np.abs(vn.T @ vn - np.eye(ne))))
+    res = float(np.max(np.abs(an @ vn - vn * wn[None, :])))
+    scale = float(max(np.max(np.abs(an)), 1.0))
+    eps32 = float(jnp.finfo(jnp.float32).eps)
+    gates = orth <= 500 * ne * eps32 and res <= 1000 * ne * eps32 * scale
+
+    heev = {"n": ne, "seconds": round(t_eigh, 3), "orth": orth, "res": res,
+            "residual_gates_pass": bool(gates)}
+    line = {
         "metric": f"potrf_f32_n{n}_tflops",
         "value": round(tflops, 2),
         "unit": "TFLOP/s",
         "vs_baseline": round(tflops / peak, 4),
-    }))
+        "heev": heev,
+    }
+    with open("/root/repo/BENCH_EXTRA.json", "w") as f:
+        json.dump({"potrf_tflops": round(tflops, 2),
+                   "gemm_ceiling_tflops": round(peak, 2),
+                   "heev": heev}, f, indent=1)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -338,10 +338,77 @@ def bt_reduction_to_band_dist(qc, packed: DistMatrix, taus,
 # final layout change: column shards -> canonical block-cyclic
 
 
-@functools.partial(jax.jit, static_argnames=("dist", "sharding"))
+def _c2c_shardfn(qc_loc, *, nb, pm, lmt, lnt):
+    """Column shard (m, w) of the eigenvector matrix -> my canonical
+    (1, 1, lm, ln) block-cyclic shard, via ONE uniform tile-granular
+    all-to-all (the reference's hand-rolled all-to-all analog,
+    ``permutations/general/impl.h:230-303``)."""
+    p = lax.axis_index(ROW_AXIS)
+    q = lax.axis_index(COL_AXIS)
+    Pn = lax.axis_size(ROW_AXIS)
+    Qn = lax.axis_size(COL_AXIS)
+    D = Pn * Qn
+    did = p * Qn + q
+    m, w = qc_loc.shape
+    wt = w // nb                     # my whole column tiles
+    wq = -(-wt // Qn)                # padded tiles per target grid column
+    lm = lmt * nb
+
+    # rows < pm grouped by target grid row (global row tile t = l*P + p_t)
+    rows = qc_loc[:pm].reshape(lmt, Pn, nb, w).transpose(1, 0, 2, 3) \
+        .reshape(Pn, lm, w)
+    # my col tile j (global T = did*wt + j) goes to grid col T % Q; for
+    # target q_t the padded slots i take j = ((q_t - did*wt) mod Q) + i*Q
+    q_t = jnp.arange(Qn, dtype=jnp.int32)[:, None]
+    i = jnp.arange(wq, dtype=jnp.int32)[None, :]
+    jsel = (q_t - did * wt) % Qn + i * Qn                # (Q, wq)
+    valid = (jsel < wt).astype(qc_loc.dtype)
+    rbuf4 = rows.reshape(Pn, lm, wt, nb)
+    sb = jnp.take(rbuf4, jnp.minimum(jsel.reshape(-1), wt - 1), axis=2)
+    sb = sb.reshape(Pn, lm, Qn, wq, nb) * valid.reshape(1, 1, Qn, wq, 1)
+    sb = sb.transpose(0, 2, 1, 3, 4).reshape(D, lm, wq * nb)
+
+    rcv = lax.all_to_all(sb, AXES, split_axis=0, concat_axis=0, tiled=True)
+
+    # reassemble my lnt col tiles: global tile G = c*Q + q came from source
+    # d_s = G // wt at its padded slot (j - j0) / Q
+    G = jnp.arange(lnt, dtype=jnp.int32) * Qn + q
+    d_s = G // wt
+    j = G - d_s * wt
+    j0 = (q - d_s * wt) % Qn
+    slot = d_s * wq + (j - j0) // Qn                     # (lnt,)
+    tiles = rcv.reshape(D, lm, wq, nb).transpose(0, 2, 1, 3) \
+        .reshape(D * wq, lm, nb)
+    out = jnp.take(tiles, slot, axis=0).transpose(1, 0, 2).reshape(lm, lnt * nb)
+    return out[None, None]
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "pm", "lmt", "lnt", "mesh"))
+def _c2c_dist(qc, *, nb, pm, lmt, lnt, mesh):
+    fn = jax.shard_map(
+        functools.partial(_c2c_shardfn, nb=nb, pm=pm, lmt=lmt, lnt=lnt),
+        mesh=mesh, in_specs=(P(None, AXES),),
+        out_specs=P(ROW_AXIS, COL_AXIS, None, None), check_vma=False)
+    return fn(qc)
+
+
 def cols_to_canonical(qc, *, dist, sharding):
     """(m, m) column-sharded eigenvector matrix -> canonical DistMatrix
-    layout (GSPMD inserts the redistribution collectives; no host)."""
+    layout. Tile-aligned shards use one explicit uniform all-to-all inside
+    shard_map; otherwise fall back to a GSPMD resharding constraint."""
+    mesh = sharding.mesh
+    D = mesh.devices.size
+    m = qc.shape[1]
+    nb = dist.block_size[0]
+    if m % D == 0 and (m // D) % nb == 0:
+        pm, pn = dist.padded_size
+        lmt, lnt = dist.max_local_nr_tiles
+        return _c2c_dist(qc, nb=nb, pm=pm, lmt=lmt, lnt=lnt, mesh=mesh)
+    return _c2c_gspmd(qc, dist=dist, sharding=sharding)
+
+
+@functools.partial(jax.jit, static_argnames=("dist", "sharding"))
+def _c2c_gspmd(qc, *, dist, sharding):
     from ...dist import scatter_to_shards
     pm, pn = dist.padded_size
     q = qc[:pm, :pn]

@@ -36,6 +36,15 @@ LEAF = 32
 JACOBI_SWEEPS = 10
 
 
+def unroll_batch() -> int:
+    """Merge batches <= this run unrolled instead of vmapped (see the driver
+    loop): on TPU, vmap turns the rotation scan's dynamic row slices into
+    batched gather/scatter — catastrophically slow even at batch 1 (21x on
+    the n=8192 stage 3). On CPU the gathers are fine and the unrolled graphs
+    only bloat compile time, so unrolling is TPU-only."""
+    return 4 if jax.default_backend() in ("tpu", "axon") else 0
+
+
 # ---------------------------------------------------------------------------
 # leaf solver: cyclic Jacobi on small dense symmetric matrices
 
@@ -399,7 +408,13 @@ def _tridiag_dc_padded(d, e, laed4_iter, mesh=None):
                 dv, zv, rv, tol_scale, laed4_iter)
             return _merge_vectors(q1v, q2v, lamv, zhat, perm, mu, defl, rots, dd)
 
-        lam, q = jax.vmap(do_merge)(dcat, zcat, rho, q1, q2)
+        if nb2 <= unroll_batch():
+            outs = [do_merge(dcat[i], zcat[i], rho[i], q1[i], q2[i])
+                    for i in range(nb2)]
+            lam = jnp.stack([o[0] for o in outs])
+            q = jnp.stack([o[1] for o in outs])
+        else:
+            lam, q = jax.vmap(do_merge)(dcat, zcat, rho, q1, q2)
         lam, q = constrain(lam, q)
         size *= 2
 

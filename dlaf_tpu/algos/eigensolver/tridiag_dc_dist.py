@@ -40,7 +40,8 @@ from jax.sharding import PartitionSpec as P
 
 from ...comm.mesh import COL_AXIS, ROW_AXIS
 from ...ops.core import matmul_precision
-from .tridiag_dc import LEAF, _jacobi_eigh, _merge, _merge_vectors
+from .tridiag_dc import (LEAF, _jacobi_eigh, _merge, _merge_vectors,
+                         unroll_batch)
 
 AXES = (ROW_AXIS, COL_AXIS)
 
@@ -286,7 +287,15 @@ def _dc_dist_shardfn(d, e, *, laed4_iter, levels, nblocks, D):
                 return _merge_vectors(q1v, q2v, lamv, zhat, perm, mu, defl,
                                       rots, dd)
 
-            lam_loc, q_loc = jax.vmap(do_merge)(dcat, zcat, rho, q1, q2)
+            if nb_loc2 <= unroll_batch():
+                # unrolled: vmapped dynamic slices become gathers (slow);
+                # see tridiag_dc.unroll_batch
+                outs = [do_merge(dcat[i], zcat[i], rho[i], q1[i], q2[i])
+                        for i in range(nb_loc2)]
+                lam_loc = jnp.stack([o[0] for o in outs])
+                q_loc = jnp.stack([o[1] for o in outs])
+            else:
+                lam_loc, q_loc = jax.vmap(do_merge)(dcat, zcat, rho, q1, q2)
         else:
             # ---- mode B: row-sharded merges over device groups ----------
             g_new = D // nb_new

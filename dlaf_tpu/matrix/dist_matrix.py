@@ -45,6 +45,48 @@ class DistMatrix:
         data = jax.device_put(shards, grid.canonical_sharding())
         return cls(data, d, grid)
 
+    @classmethod
+    def from_callback(cls, cb, size, nb: int, grid: Grid, dtype):
+        """Build a DistMatrix without ever materializing the global array:
+        ``cb((row_slice, col_slice)) -> ndarray`` is called once per needed
+        global region, only for shards addressable by THIS process — the
+        multi-host construction path (each host fills only its devices'
+        shards; the reference reads user/ScaLAPACK-owned local memory the
+        same way, ``src/c_api/utils.cpp:68``). Out-of-range (padding)
+        regions are requested clamped and zero-filled here.
+        """
+        import numpy as np
+
+        m, n = size
+        d = Distribution((m, n), (nb, nb), grid.grid_size)
+        pm, pn = d.padded_size
+        Pg, Qg = grid.grid_size
+        lmt, lnt = d.max_local_nr_tiles
+        lm, ln = lmt * nb, lnt * nb
+
+        def shard_cb(index):
+            # index: the (P, Q, lm, ln) global-array slices of this shard
+            p = index[0].start or 0
+            q = index[1].start or 0
+            out = np.zeros((1, 1, lm, ln), dtype)
+            for lt in range(lmt):
+                gr = (lt * Pg + p) * nb
+                if gr >= m:
+                    continue
+                for ct in range(lnt):
+                    gc = (ct * Qg + q) * nb
+                    if gc >= n:
+                        continue
+                    blk = np.asarray(cb((slice(gr, min(gr + nb, m)),
+                                         slice(gc, min(gc + nb, n)))))
+                    out[0, 0, lt * nb:lt * nb + blk.shape[0],
+                        ct * nb:ct * nb + blk.shape[1]] = blk
+            return out
+
+        data = jax.make_array_from_callback(
+            (Pg, Qg, lm, ln), grid.canonical_sharding(), shard_cb)
+        return cls(data, d, grid)
+
     def to_global(self):
         """Gather to a single (m, n) array (unpadded)."""
         full = gather_from_shards(jax.device_get(self.data), self.dist)

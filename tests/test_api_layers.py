@@ -90,6 +90,7 @@ def test_pdsyevd_routes_through_grid():
         sl.dlaf_free_grid(ctx)
 
 
+@pytest.mark.slow
 def test_pdsygvd_grid():
     n = 48
     a = np.asarray(gen.random_hermitian(jax.random.PRNGKey(3), n, np.float64))

@@ -30,7 +30,12 @@ def test_strips_roundtrip():
     assert np.allclose(np.asarray(e), np.asarray(jnp.diagonal(band, -1)))
 
 
-@pytest.mark.parametrize("n,b", [(37, 4), (64, 8), (50, 5), (20, 16)])
+@pytest.mark.parametrize("n,b", [
+    (37, 4),
+    pytest.param(64, 8, marks=pytest.mark.slow),
+    pytest.param(50, 5, marks=pytest.mark.slow),
+    (20, 16),
+])
 def test_strips_kernel_matches_dense(dtype, n, b):
     band = _band(n, b, dtype)
     d0, e0, vs0, t0 = dense_ref(band, b)
@@ -43,7 +48,11 @@ def test_strips_kernel_matches_dense(dtype, n, b):
     assert float(jnp.max(jnp.abs(t0 - t1))) <= bound
 
 
-@pytest.mark.parametrize("n,b", [(64, 8), (50, 8), (70, 16)])
+@pytest.mark.parametrize("n,b", [
+    (50, 8),
+    pytest.param(64, 8, marks=pytest.mark.slow),
+    pytest.param(70, 16, marks=pytest.mark.slow),
+])
 def test_pallas_kernel_matches_dense_interpret(n, b):
     from jax.experimental.pallas import tpu as pltpu
     from dlaf_tpu.ops.pallas.band2tridiag import band_to_tridiag_strips_pallas

@@ -1,6 +1,7 @@
 """Distributed eigensolver tests (reference distributed
 test_eigensolver.cpp / test_gen_eigensolver.cpp over grids)."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -27,8 +28,10 @@ def test_dist_red2band_matches_local(grid_size):
                                atol=1e-12)
 
 
-@pytest.mark.parametrize("grid_size", [(2, 2), (2, 4)])
-@pytest.mark.parametrize("n", [64, 90])
+@pytest.mark.parametrize("grid_size", [(2, 2),
+                                       pytest.param((2, 4), marks=pytest.mark.slow)])
+@pytest.mark.parametrize("n", [64,
+                               pytest.param(90, marks=pytest.mark.slow)])
 def test_dist_eigh(grid_size, n):
     dtype = np.dtype("float64")
     nb = 16
@@ -60,3 +63,41 @@ def test_dist_eigh_gen():
     tol = 2000 * n * eps(dtype) * np.max(np.abs(an))
     assert np.max(np.abs(an @ xg - bn @ xg * w[None, :])) <= tol
     assert np.max(np.abs(xg.T @ bn @ xg - np.eye(n))) <= tol
+
+
+def test_dist_red2band_band_lt_nb():
+    """band < nb (reference getBandSize + retiling): the distributed
+    reduction with band-wide panels inside nb-tiles matches the spectrum."""
+    from dlaf_tpu.algos.eigensolver.dist_red2band import reduction_to_band_dist
+    from dlaf_tpu.algos.eigensolver.red2band import extract_band
+
+    n, nb, band = 128, 32, 8
+    a = gen.random_hermitian(jax.random.PRNGKey(5), n, np.dtype("float64"))
+    dm = DistMatrix.from_global(a, nb, Grid((2, 4)))
+    packed, taus = reduction_to_band_dist(dm, band)
+    bandm = np.asarray(extract_band(jnp.asarray(packed.to_global()), band))
+    ev = np.sort(np.linalg.eigvalsh(bandm))[:n]
+    ref = np.linalg.eigvalsh(np.asarray(a))
+    assert np.max(np.abs(ev - ref)) <= 100 * n * eps(np.float64) * \
+        max(np.max(np.abs(ref)), 1)
+
+
+def test_dist_eigh_band_lt_nb():
+    """Full eigh_dist with the tuned band < nb path."""
+    import dlaf_tpu as dt
+
+    old = dt.get_tune_parameters().eigensolver_min_band
+    dt.set_tune_parameters(eigensolver_min_band=8)
+    try:
+        n, nb = 128, 32
+        a = gen.random_hermitian(jax.random.PRNGKey(6), n, np.dtype("float64"))
+        dm = DistMatrix.from_global(a, nb, Grid((2, 2)))
+        w, v = eigh_dist(dm)
+        w, vg = np.asarray(w), np.asarray(v.to_global())
+        an = np.asarray(a)
+        tol = 500 * n * eps(np.float64)
+        assert np.max(np.abs(vg.T @ vg - np.eye(n))) <= tol
+        assert np.max(np.abs(an @ vg - vg * w[None, :])) <= \
+            tol * max(np.max(np.abs(an)), 1)
+    finally:
+        dt.set_tune_parameters(eigensolver_min_band=old)

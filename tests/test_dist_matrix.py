@@ -84,3 +84,54 @@ def test_potrf_info_local(real_dtype_p):
     bad[70, 70] = -50.0
     _, info_bad = dt.potrf_info(jnp.asarray(bad), nb=32)
     assert 64 < int(info_bad) <= 96
+
+
+def test_from_callback_matches_from_global():
+    """Multi-host construction path: per-shard callback fills only locally
+    addressable shards; layout identical to from_global."""
+    rng = np.random.default_rng(7)
+    for gs in ((2, 4), (2, 2)):
+        for n, nb in ((100, 16), (64, 32)):
+            a = rng.standard_normal((n, n))
+            dm = DistMatrix.from_callback(lambda idx: a[idx], (n, n), nb,
+                                          Grid(gs), np.float64)
+            dm2 = DistMatrix.from_global(jnp.asarray(a), nb, Grid(gs))
+            assert np.array_equal(np.asarray(dm.data), np.asarray(dm2.data))
+            assert np.array_equal(np.asarray(dm.to_global()), a)
+
+
+def test_dist_permute_device_resident():
+    """Distributed permutation via all_gather + local gather (no host)."""
+    from dlaf_tpu.algos.permutations import permute
+    rng = np.random.default_rng(8)
+    for gs in ((2, 4), (1, 4)):
+        n, nb = 96, 16
+        a = jnp.asarray(rng.standard_normal((n, n)))
+        dm = DistMatrix.from_global(a, nb, Grid(gs))
+        for axis in (0, 1):
+            perm = jnp.asarray(rng.permutation(n), jnp.int32)
+            out = permute(dm, perm, axis=axis)
+            ref = np.take(np.asarray(a), np.asarray(perm), axis=axis)
+            assert np.array_equal(np.asarray(out.to_global()), ref)
+
+
+def test_cols_to_canonical_all_to_all():
+    """Explicit uniform all-to-all reshard (tile-aligned fast path)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dlaf_tpu.algos.eigensolver.dist_stage23 import cols_to_canonical
+    from dlaf_tpu.comm.mesh import COL_AXIS, ROW_AXIS
+    from dlaf_tpu.dist import gather_from_shards
+    from dlaf_tpu.dist.distribution import Distribution
+    rng = np.random.default_rng(9)
+    for gs, n, nb, m in (((2, 4), 96, 16, 256), ((2, 2), 200, 16, 256),
+                         ((2, 2), 128, 16, 128)):
+        grid = Grid(gs)
+        dist = Distribution((n, n), (nb, nb), gs)
+        pm, pn = dist.padded_size
+        qfull = jnp.asarray(rng.standard_normal((m, m)))
+        qc = jax.device_put(qfull, NamedSharding(
+            grid.mesh, P(None, (ROW_AXIS, COL_AXIS))))
+        out = cols_to_canonical(qc, dist=dist,
+                                sharding=grid.canonical_sharding())
+        got = np.asarray(gather_from_shards(out, dist))
+        assert np.array_equal(got, np.asarray(qfull)[:pm, :pn])

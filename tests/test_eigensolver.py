@@ -36,7 +36,8 @@ def _check_eigh(a, w, v, factor=200):
         assert np.max(np.abs(a @ v - v * w[None, :])) <= tol
 
 
-@pytest.mark.parametrize("n", [0, 1, 2, 5, 16, 34, 64, 150])
+@pytest.mark.parametrize("n", [0, 1, 2, 5, 16, 34, 64,
+                               pytest.param(150, marks=pytest.mark.slow)])
 def test_eigh_sizes(n, real_dtype_p):
     a = gen.random_hermitian(jax.random.PRNGKey(n + 1), n, real_dtype_p)
     w, v = eigh(a)
@@ -45,7 +46,8 @@ def test_eigh_sizes(n, real_dtype_p):
 
 
 @pytest.mark.parametrize("cdtype", ["complex64", "complex128"])
-@pytest.mark.parametrize("n", [5, 48, 100])
+@pytest.mark.parametrize("n", [5, 48,
+                               pytest.param(100, marks=pytest.mark.slow)])
 def test_eigh_complex(n, cdtype):
     dtype = np.dtype(cdtype)
     a = gen.random_hermitian(jax.random.PRNGKey(n), n, dtype)

@@ -23,11 +23,13 @@ def _spd(n, key=0):
 
 def test_pallas_potrf_tile():
     from dlaf_tpu.ops.pallas.potrf import potrf_tile
-    a = _spd(256)
+    n = 256
+    a = _spd(n)
+    bound = 100 * n * np.finfo(np.float32).eps * float(jnp.max(jnp.abs(a)))
     for upper in (False, True):
         f = np.asarray(potrf_tile(a, upper=upper))
         rec = f.T @ f if upper else f @ f.T
-        assert np.max(np.abs(rec - np.asarray(a))) < 1e-4
+        assert np.max(np.abs(rec - np.asarray(a))) < bound
 
 
 def test_pallas_trsm_tile():

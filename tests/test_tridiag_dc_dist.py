@@ -12,7 +12,8 @@ from conftest import tol
 
 
 @pytest.mark.parametrize("grid_size", [(2, 4), (2, 2), (1, 2), (1, 1)])
-@pytest.mark.parametrize("n", [64, 100, 256])
+@pytest.mark.parametrize("n", [64, 100,
+                               pytest.param(256, marks=pytest.mark.slow)])
 def test_tridiag_dc_dist(real_dtype_p, grid_size, n):
     dtype = real_dtype_p
     grid = Grid(grid_size)
