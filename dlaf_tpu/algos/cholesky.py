@@ -42,23 +42,30 @@ from ..tune import get_tune_parameters
 N_WINDOW_BUCKETS = 8
 
 
-def window_buckets(nrt: int, Pn: int, Qn: int, nwin: int = N_WINDOW_BUCKETS):
+def window_buckets(nrt: int, Pn: int, Qn: int, nwin: int = N_WINDOW_BUCKETS,
+                   stride: int = 1):
     """Static k-loop buckets [(k0, k1, offr, offc)]: for every k in
-    [k0, k1), all tiles at global index >= k are inside the local window
-    starting at local tile (offr, offc) on every rank."""
+    [k0, k1), all tiles at global index >= k*stride are inside the local
+    window starting at local tile (offr, offc) on every rank (``stride`` =
+    tiles per loop step, e.g. the wide-panel width)."""
     edges = sorted({min(round(i * nrt / nwin), nrt) for i in range(nwin + 1)})
     buckets = []
     for k0, k1 in zip(edges[:-1], edges[1:]):
-        offr = max(0, -(-(k0 - Pn + 1) // Pn))
-        offc = max(0, -(-(k0 - Qn + 1) // Qn))
+        kt0 = k0 * stride
+        offr = max(0, -(-(kt0 - Pn + 1) // Pn))
+        offc = max(0, -(-(kt0 - Qn + 1) // Qn))
         buckets.append((k0, k1, offr, offc))
     return buckets
 
 
-def _local_potrf_step(a, kt, *, nb, leaf_nb, offr, offc, glob_row, glob_col,
-                      row_tile, col_tile):
-    """One k-step on the trailing window ``a`` (the local shard sliced from
-    local tile (offr, offc)); index arrays are pre-sliced to the window."""
+def _tile_step(a, kt, *, nb, leaf_nb, offr, offc, row_tile, col_tile,
+               pl_lc0, pl_w, pl_end, valid):
+    """Factor tile kt, solve its panel, and update ONLY the remaining panel
+    columns (the contiguous ``pl_w`` local tiles from local tile ``pl_lc0``).
+    Returns (a, w, wt): the solved below-rows panel (lm, nb) and its
+    transposed extraction (ln, nb), both zeroed when ``valid`` is false —
+    ready for the wide trailing GEMM.
+    """
     p = lax.axis_index(ROW_AXIS)
     q = lax.axis_index(COL_AXIS)
     Pn = lax.axis_size(ROW_AXIS)
@@ -71,8 +78,9 @@ def _local_potrf_step(a, kt, *, nb, leaf_nb, offr, offc, glob_row, glob_col,
     lk_c = kt // Qn - offc
 
     # 1. factor the diagonal tile and broadcast it (non-owners compute junk
-    #    that the masked psum discards)
+    #    that the masked psum discards; invalid tail tiles factor identity)
     tile = lax.dynamic_slice(a, (lk_r * nb, lk_c * nb), (nb, nb))
+    tile = jnp.where(valid, tile, jnp.eye(nb, dtype=a.dtype))
     lkk = blocked.potrf_lower(tile, leaf_nb)
     lkk = coll.bcast2d(lkk, (owner_p, owner_q), (ROW_AXIS, COL_AXIS))
 
@@ -80,16 +88,16 @@ def _local_potrf_step(a, kt, *, nb, leaf_nb, offr, offc, glob_row, glob_col,
     slab = lax.dynamic_slice(a, (0, lk_c * nb), (lm, nb))
     solved = blocked.trsm(slab, lkk, side="R", lower=True, trans="C",
                           unit=False, nb=leaf_nb)
-    below = (row_tile > kt)[:, None]
+    below = valid & (row_tile.repeat(nb) > kt)[:, None]
     newslab = jnp.where(below, solved, slab)
     cur = lax.dynamic_slice(newslab, (lk_r * nb, 0), (nb, nb))
     # write only the lower triangle of the factored tile; its strict upper
     # keeps the original content (reference potrf tile semantics)
     merged = jnp.where(jnp.tril(jnp.ones((nb, nb), jnp.bool_)), lkk, cur)
     newslab = lax.dynamic_update_slice(
-        newslab, jnp.where(p == owner_p, merged, cur), (lk_r * nb, 0))
+        newslab, jnp.where(valid & (p == owner_p), merged, cur), (lk_r * nb, 0))
     a = lax.dynamic_update_slice(
-        a, jnp.where(q == owner_q, newslab, slab), (0, lk_c * nb))
+        a, jnp.where(valid & (q == owner_q), newslab, slab), (0, lk_c * nb))
 
     # 3. broadcast the solved panel along the row axis (reference
     #    broadcast_panel col->rows): W holds L(i, kt) for local row tiles i>kt
@@ -110,15 +118,35 @@ def _local_potrf_step(a, kt, *, nb, leaf_nb, offr, offc, glob_row, glob_col,
     # the next line and the trailing tril mask discard — a layout change
     # that breaks this must mask col_tile explicitly
     wt = jnp.take(wg, col_tile - offr * Pn, axis=0).reshape(ln, nb)
-    wt = jnp.where((col_tile.repeat(nb) > kt)[:, None], wt, jnp.zeros_like(wt))
+    wt = jnp.where(valid & (col_tile.repeat(nb) > kt)[:, None], wt,
+                   jnp.zeros_like(wt))
 
-    # 5. trailing update restricted to the global lower triangle
-    upd = jnp.matmul(w, ct(wt), precision=matmul_precision())
-    tril = glob_row[:, None] >= glob_col[None, :]
-    return a - jnp.where(tril, upd, jnp.zeros_like(upd))
+    # 5. panel-restricted trailing update (k = nb, O(n * wt*nb) work): the
+    #    wide k = wt*nb update of everything right of the panel happens once
+    #    per panel in the caller
+    # the tail panel can reach past the padded local tiles: clamp the slab
+    # start (valid panel columns provably stay inside the clamped slab) and
+    # mask non-panel columns out of the update
+    lnt_w = ln // nb
+    pl_lc0 = jnp.minimum(jnp.asarray(pl_lc0, jnp.int32), lnt_w - pl_w)
+    pc0 = pl_lc0 * nb
+    z = jnp.zeros((), jnp.int32)
+    pslab = lax.dynamic_slice(a, (z, pc0), (lm, pl_w * nb))
+    wt_p = lax.dynamic_slice(wt, (pc0, z), (pl_w * nb, nb))
+    upd = jnp.matmul(w, ct(wt_p), precision=matmul_precision())
+    colt_all = col_tile.repeat(nb)
+    colg_all = colt_all * nb + jnp.tile(jnp.arange(nb), lnt_w)
+    colg_p = lax.dynamic_slice(colg_all, (pc0,), (pl_w * nb,))
+    colt_p = lax.dynamic_slice(colt_all, (pc0,), (pl_w * nb,))
+    rowg_el = row_tile.repeat(nb) * nb + jnp.tile(jnp.arange(nb), lmt)
+    mask = (rowg_el[:, None] >= colg_p[None, :]) & \
+        (colt_p < pl_end)[None, :]
+    pslab = pslab - jnp.where(mask, upd, 0)
+    a = lax.dynamic_update_slice(a, pslab, (z, pc0))
+    return a, w, wt
 
 
-def _dist_potrf_shardfn(a4, *, nb, nrt, leaf_nb):
+def _dist_potrf_shardfn(a4, *, nb, nrt, leaf_nb, wt_tiles):
     a = a4[0, 0]
     p = lax.axis_index(ROW_AXIS)
     q = lax.axis_index(COL_AXIS)
@@ -132,38 +160,90 @@ def _dist_potrf_shardfn(a4, *, nb, nrt, leaf_nb):
     glob_row = row_tile_el * nb + jnp.tile(jnp.arange(nb), lmt)
     glob_col = col_tile.repeat(nb) * nb + jnp.tile(jnp.arange(nb), lnt)
 
-    for k0, k1, offr, offc in window_buckets(nrt, Pn, Qn):
+    npanels = -(-nrt // wt_tiles)
+
+    def panel_step(pk, a, *, offr, offc, row_tile_w, col_tile_w, glob_row_w,
+                   glob_col_w):
+        lm_w = a.shape[0]
+        lnt_w = a.shape[1] // nb
+        kt0 = pk * wt_tiles
+        # contiguous local columns of this panel (wt_tiles % Q == 0); the
+        # static width is capped by the bucket's window (the tail panel's
+        # overshoot tiles are invalid and provably fit the clamped slab)
+        pl_lc0 = kt0 // Qn - offc
+        pl_w = min(wt_tiles // Qn, lnt_w)
+
+        ws, wts = [], []
+        for j in range(wt_tiles):
+            kt = kt0 + j
+            a, w, wtj = _tile_step(
+                a, kt, nb=nb, leaf_nb=leaf_nb, offr=offr, offc=offc,
+                row_tile=row_tile_w, col_tile=col_tile_w,
+                pl_lc0=pl_lc0, pl_w=pl_w, pl_end=kt0 + wt_tiles,
+                valid=kt < nrt)
+            ws.append(w)
+            wts.append(wtj)
+
+        # wide trailing update: ONE k = wt*nb GEMM right of the panel
+        # (reference trailing herk/gemm over the whole panel,
+        # factorization/cholesky/impl.h:273-300)
+        wide = jnp.concatenate(ws, axis=1)               # (lm, wt*nb)
+        wide_t = jnp.concatenate(wts, axis=1)            # (ln, wt*nb)
+        # zero the panel's own columns so only tiles >= kt0+wt update
+        right = (col_tile_w.repeat(nb) >= kt0 + wt_tiles)[:, None]
+        wide_t = jnp.where(right, wide_t, 0)
+        upd = jnp.matmul(wide, ct(wide_t), precision=matmul_precision())
+        tril = glob_row_w[:, None] >= glob_col_w[None, :]
+        return a - jnp.where(tril, upd, 0)
+
+    for k0, k1, offr, offc in window_buckets(npanels, Pn, Qn,
+                                             stride=wt_tiles):
         offr = min(offr, lmt - 1)
         offc = min(offc, lnt - 1)
         w = a[offr * nb:, offc * nb:]
         step = functools.partial(
-            _local_potrf_step, nb=nb, leaf_nb=leaf_nb, offr=offr, offc=offc,
-            glob_row=glob_row[offr * nb:], glob_col=glob_col[offc * nb:],
-            row_tile=row_tile_el[offr * nb:], col_tile=col_tile[offc:])
-        w = lax.fori_loop(k0, k1, lambda k, x: step(x, k), w)
+            panel_step, offr=offr, offc=offc,
+            row_tile_w=row_tile[offr:], col_tile_w=col_tile[offc:],
+            glob_row_w=glob_row[offr * nb:], glob_col_w=glob_col[offc * nb:])
+        w = lax.fori_loop(k0, k1, lambda k, x: step(k, x), w)
         a = a.at[offr * nb:, offc * nb:].set(w)
     return a[None, None]
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "nrt", "leaf_nb", "mesh"))
-def _dist_potrf(data, *, nb, nrt, leaf_nb, mesh):
+@functools.partial(jax.jit, static_argnames=("nb", "nrt", "leaf_nb",
+                                             "wt_tiles", "mesh"))
+def _dist_potrf(data, *, nb, nrt, leaf_nb, wt_tiles, mesh):
     spec = P(ROW_AXIS, COL_AXIS, None, None)
     fn = jax.shard_map(
-        functools.partial(_dist_potrf_shardfn, nb=nb, nrt=nrt, leaf_nb=leaf_nb),
-        mesh=mesh, in_specs=(spec,), out_specs=spec)
+        functools.partial(_dist_potrf_shardfn, nb=nb, nrt=nrt,
+                          leaf_nb=leaf_nb, wt_tiles=wt_tiles),
+        mesh=mesh, in_specs=(spec,), out_specs=spec,
+        check_vma=False)  # Pallas leaf kernels carry no vma metadata
     return fn(data)
 
 
 def cholesky(a: DistMatrix) -> DistMatrix:
     """Distributed lower Cholesky: factor in the global lower triangle, the
     strict upper triangle keeps the original content (reference semantics).
+
+    Wide-panel k-loop: each panel of ``wt_tiles`` block columns is factored
+    with panel-restricted rank-nb updates, then the trailing matrix gets ONE
+    k = wt*nb GEMM — the same flops at MXU-efficient contraction depth
+    (the per-tile loop's rank-nb full-trailing updates ran at < half the
+    GEMM ceiling).
     """
     m, n = a.dist.size
     assert m == n, "cholesky needs a square matrix"
     nb = a.block_size
     nrt = a.dist.nr_tiles[0]
-    leaf = min(get_tune_parameters().leaf_block_size, nb)
-    out = _dist_potrf(a.data, nb=nb, nrt=nrt, leaf_nb=leaf, mesh=a.grid.mesh)
+    Qn = a.grid.grid_size[1]
+    tune = get_tune_parameters()
+    leaf = min(tune.leaf_block_size, nb)
+    # panel width, a multiple of Q tiles (contiguous local cols)
+    wt_tiles = Qn * max(1, -(-tune.potrf_dist_panel_width // (nb * Qn)))
+    wt_tiles = min(wt_tiles, max(Qn, (nrt // Qn) * Qn or Qn))
+    out = _dist_potrf(a.data, nb=nb, nrt=nrt, leaf_nb=leaf,
+                      wt_tiles=wt_tiles, mesh=a.grid.mesh)
     return DistMatrix(out, a.dist, a.grid)
 
 

@@ -134,7 +134,8 @@ def _dist_gemm(a_data, b_data, c_data, *, nb, kt_count, alpha, beta, a_mode, mes
     fn = jax.shard_map(
         functools.partial(_gemm_shardfn, nb=nb, kt_count=kt_count, alpha=alpha,
                           beta=beta, a_mode=a_mode),
-        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False)  # Pallas leaf kernels carry no vma metadata
     return fn(a_data, b_data, c_data)
 
 

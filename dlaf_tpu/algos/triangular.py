@@ -154,7 +154,8 @@ def _dist_trsm(a_data, b_data, *, nb, nrt, leaf_nb, lower, trans, unit, alpha, m
     fn = jax.shard_map(
         functools.partial(_dist_trsm_shardfn, nb=nb, nrt=nrt, leaf_nb=leaf_nb,
                           lower=lower, trans=trans, unit=unit, alpha=alpha),
-        mesh=mesh, in_specs=(spec, spec), out_specs=spec)
+        mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+        check_vma=False)  # Pallas leaf kernels carry no vma metadata
     return fn(a_data, b_data)
 
 

@@ -26,6 +26,10 @@ class TuneParameters:
     leaf_block_size: int = 128
     # micro panel width inside the Pallas potrf leaf kernel
     potrf_panel_size: int = 8
+    # distributed POTRF wide-panel width in ELEMENTS (rounded to a multiple
+    # of Q tiles): the trailing update runs as one k = width GEMM per panel
+    # (reference look-ahead panel, factorization/cholesky/impl.h:218-221)
+    potrf_dist_panel_width: int = 2048
     # eigensolver: band size = largest divisor of nb >= this (reference
     # include/dlaf/eigensolver/internal/get_band_size.h:20 and
     # tune.h eigensolver_min_band)
