@@ -128,6 +128,34 @@ def _eigh_dist_gathered(a: DistMatrix, laed4: int):
     return w[:n], v
 
 
+def eigvalsh_dist(a: DistMatrix, laed4_iter: int | None = None):
+    """Distributed eigenvalues only: skips both back-transformations and the
+    final reshard (reference ``hermitian_eigensolver`` with eigenvalues-only
+    allocation, ``eigensolver/eigensolver.h:56``)."""
+    n = a.dist.size[0]
+    pm = a.dist.padded_size[0]
+    tune = get_tune_parameters()
+    laed4 = laed4_iter or tune.laed4_max_iter
+    D = a.grid.mesh.devices.size
+    if not dc_dist_supported(pm, D):
+        return _eigh_dist_gathered(a, laed4)[0]
+
+    from . import dist_stage23 as s23
+    from .driver import get_band_size
+
+    nb = a.block_size
+    mesh = a.grid.mesh
+    band = get_band_size(nb)
+    data = s23._pad_fix(a.data, nb=nb, n=n, pm=pm, mesh=mesh)
+    a = DistMatrix(data, a.dist, a.grid)
+    packed, _ = reduction_to_band_dist(a, band)
+    strips = s23.strips_from_packed_dist(packed, band)
+    d, e, _, _ = s23.band_to_tridiag_dist(strips, pm, band, mesh)
+    er, _ = _phase_normalize(e, a.data.dtype)
+    w, _, _ = tridiag_eigh_dist(jnp.real(d), er, mesh, laed4)
+    return w[:n]
+
+
 def eigh_gen_dist(a: DistMatrix, b: DistMatrix, laed4_iter: int | None = None,
                   b_factorized: bool = False):
     """Distributed generalized eigensolver:

@@ -30,10 +30,13 @@ class TuneParameters:
     # of Q tiles): the trailing update runs as one k = width GEMM per panel
     # (reference look-ahead panel, factorization/cholesky/impl.h:218-221)
     potrf_dist_panel_width: int = 2048
-    # eigensolver: band size = largest divisor of nb >= this (reference
+    # eigensolver: band size = smallest divisor of nb >= this (reference
     # include/dlaf/eigensolver/internal/get_band_size.h:20 and
-    # tune.h eigensolver_min_band)
-    eigensolver_min_band: int = 64
+    # tune.h eigensolver_min_band). 128 on TPU: the wavefront bulge chase is
+    # iteration-latency-bound (~n^2/b windows), so a wider band is FASTER
+    # through stage 2 (n=8192 eigh: 4.4s at 64 -> 3.1s at 128, same
+    # residuals); 256 currently trips a Mosaic tiling limit in the kernel
+    eigensolver_min_band: int = 128
     # group size for applying band->tridiag Householder reflectors to the
     # eigenvector matrix (reference tune.h:130 bt_band_to_tridiag_hh_apply_group_size)
     bt_band_to_tridiag_hh_apply_group_size: int = 64
