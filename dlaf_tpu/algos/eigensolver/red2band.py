@@ -29,28 +29,39 @@ from ...ops.core import ct, matmul_precision, symmetrize_tri
 from ...ops.householder import panel_qr, t_factor
 
 
+N_WINDOW_BUCKETS = 8
+
+
 @functools.partial(jax.jit, static_argnames=("band",))
 def reduction_to_band(a, band: int):
     """Reduce hermitian ``a`` (lower stored, n divisible by band) to band
-    form. Returns (a_packed, taus) with taus shaped (n,)."""
+    form. Returns (a_packed, taus) with taus shaped (n,)).
+
+    Work-optimal shrinking windows (reference trailing updates touch only
+    trailing tiles, ``reduction_to_band/impl.h:809-854``): the panel loop is
+    split into static buckets; within a bucket every step operates on the
+    trailing window slice, so per-step GEMM cost tracks the trailing size
+    (the masked full-width version burned ~3x the flops).
+    """
     n = a.shape[0]
     b = band
     assert n % b == 0, (n, b)
     npanels = max(n // b - 1, 0)
-    rows = jnp.arange(n)
 
-    def panel_step(k, carry):
-        a, taus = carry
-        j0 = k * b          # panel columns [j0, j0 + b)
-        r0 = j0 + b         # reflector rows start
-        below = rows >= r0  # rows in the reflector range
+    def panel_step(k, carry, *, base):
+        a, taus = carry                     # a = trailing window [base:, base:]
+        nw = a.shape[0]
+        rows = base + jnp.arange(nw)        # global row ids of the window
+        j0 = k * b                          # global panel columns [j0, j0+b)
+        r0 = j0 + b                         # global reflector row start
+        below = rows >= r0
 
         # --- panel QR ----------------------------------------------------
-        panel = lax.dynamic_slice(a, (0, j0), (n, b))
+        panel = lax.dynamic_slice(a, (0, j0 - base), (nw, b))
         panel = jnp.where(below[:, None], panel, 0)
-        shifted = jnp.roll(panel, -r0, axis=0)
+        shifted = jnp.roll(panel, -(r0 - base), axis=0)
         v_s, taus_p, r_fac = panel_qr(shifted)
-        v = jnp.roll(v_s, r0, axis=0)            # reflectors, head rows on
+        v = jnp.roll(v_s, r0 - base, axis=0)     # reflectors, head rows on
         v = jnp.where(below[:, None], v, 0)      # the block diagonal of r0+
 
         # --- T factor ----------------------------------------------------
@@ -73,19 +84,29 @@ def reduction_to_band(a, band: int):
 
         # --- write back the panel: R on the band block, V strictly below --
         r_full = jnp.roll(jnp.concatenate(
-            [jnp.triu(r_fac), jnp.zeros((n - b, b), a.dtype)], axis=0), r0, axis=0)
+            [jnp.triu(r_fac), jnp.zeros((nw - b, b), a.dtype)], axis=0),
+            r0 - base, axis=0)
         # strictly-below-head mask in unshifted coordinates:
         head = r0 + jnp.arange(b)                 # head row of each column
         strict_v = rows[:, None] > head[None, :]
         newpanel = jnp.where(strict_v, v, r_full)
-        newpanel = jnp.where(below[:, None], newpanel, lax.dynamic_slice(a, (0, j0), (n, b)))
-        a = lax.dynamic_update_slice(a, newpanel, (0, j0))
+        newpanel = jnp.where(below[:, None], newpanel,
+                             lax.dynamic_slice(a, (0, j0 - base), (nw, b)))
+        a = lax.dynamic_update_slice(a, newpanel, (0, j0 - base))
 
         taus = lax.dynamic_update_slice(taus, taus_p, (j0,))
         return a, taus
 
-    taus0 = jnp.zeros((n,), a.dtype)
-    a, taus = lax.fori_loop(0, npanels, panel_step, (a, taus0))
+    taus = jnp.zeros((n,), a.dtype)
+    nwin = N_WINDOW_BUCKETS
+    edges = sorted({min(round(i * npanels / nwin), npanels)
+                    for i in range(nwin + 1)})
+    for k0, k1 in zip(edges[:-1], edges[1:]):
+        base = k0 * b                        # window: rows/cols >= base
+        w = a[base:, base:]
+        w, taus = lax.fori_loop(
+            k0, k1, lambda k, c: panel_step(k, c, base=base), (w, taus))
+        a = a.at[base:, base:].set(w)
     return a, taus
 
 

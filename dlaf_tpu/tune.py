@@ -38,8 +38,9 @@ class TuneParameters:
     # residuals); 256 currently trips a Mosaic tiling limit in the kernel
     eigensolver_min_band: int = 128
     # group size for applying band->tridiag Householder reflectors to the
-    # eigenvector matrix (reference tune.h:130 bt_band_to_tridiag_hh_apply_group_size)
-    bt_band_to_tridiag_hh_apply_group_size: int = 64
+    # eigenvector matrix (reference tune.h:130; the reference's own scaling
+    # runs set 128, gen_dlaf_strong-gpu.py:20-38 — measurably faster here too)
+    bt_band_to_tridiag_hh_apply_group_size: int = 128
     # number of secular-equation (laed4) Newton iterations in the tridiagonal
     # divide & conquer merge (analog of tridiag_rank1_* tuning, tune.h:117-124)
     laed4_max_iter: int = 120
