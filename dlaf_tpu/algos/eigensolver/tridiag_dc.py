@@ -421,6 +421,14 @@ def _tridiag_dc_padded(d, e, laed4_iter, mesh=None):
     return lam[0], q[0].T
 
 
+def laed4_iter_cap(dtype, laed4_iter: int) -> int:
+    """Bisection-resolution cap by dtype: a bracket resolves in ~mantissa
+    bits worth of halvings, so f32 never needs the f64-sized budget (stuck
+    brackets otherwise oscillate to the cap at identical eigenvalues)."""
+    return min(laed4_iter, 48) if jnp.dtype(dtype) == jnp.float32 \
+        else laed4_iter
+
+
 def tridiag_eigh(d, e, laed4_iter: int = 120, mesh=None):
     """Full eigendecomposition of the symmetric tridiagonal (d, e).
 
@@ -431,6 +439,7 @@ def tridiag_eigh(d, e, laed4_iter: int = 120, mesh=None):
     """
     d = jnp.asarray(d)
     e = jnp.asarray(e)
+    laed4_iter = laed4_iter_cap(d.dtype, laed4_iter)
     n = d.shape[0]
     dt = d.dtype
     m = LEAF

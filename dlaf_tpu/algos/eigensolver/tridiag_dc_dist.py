@@ -501,8 +501,10 @@ def tridiag_eigh_dist(d, e, mesh, laed4_iter: int = 120):
     eigenvector matrix and the padding block is decoupled identity).
     Caller must check :func:`dc_dist_supported` first.
     """
+    from .tridiag_dc import laed4_iter_cap
     d = jnp.asarray(d)
     e = jnp.asarray(e)
+    laed4_iter = laed4_iter_cap(d.dtype, laed4_iter)
     n = d.shape[0]
     dt = d.dtype
     m = LEAF
