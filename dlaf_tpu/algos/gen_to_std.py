@@ -33,11 +33,17 @@ def generalized_to_standard(a, l, uplo: str = "L", nb: int | None = None):
 
 def generalized_to_standard_dist(a, l, uplo: str = "L"):
     """Distributed variant over DistMatrix inputs (square grids use the
-    cheap canonical-layout transpose; see matrix.dist_matrix)."""
-    from ..algos.triangular import triangular_solver
-    from ..matrix.dist_matrix import DistMatrix
+    cheap canonical-layout transpose; see matrix.dist_matrix).
 
-    assert uplo == "L", "distributed gen_to_std: lower case"
+    ``uplo='U'`` computes U^-H A U^-1 with ``l`` holding the upper factor U
+    of B = U^H U — identical to the lower case with L = U^H (one
+    device-resident transpose; reference handles both uplo dispatches,
+    ``eigensolver/gen_to_std/impl.h:222,286``).
+    """
+    from ..algos.triangular import triangular_solver
+
+    if uplo == "U":
+        l = l.transpose()           # conjugate transpose: U^H is lower
     y = triangular_solver(l, a, uplo="L", trans="N")
     yt = y.transpose()
     return triangular_solver(l, yt, uplo="L", trans="N")
