@@ -295,20 +295,34 @@ def _merge_vectors(qleft_t, qright_t, lam, zhat, perm, root, deflated, rots, dd)
     qt = qt.at[n1:, n1:].set(qright_t)
     qt = qt[perm, :]                    # q[:, perm] in transposed storage
 
-    def apply_rot(qt, rot):
-        c, s, pi, i = rot
-        valid = pi >= 0
-        pi_ = jnp.maximum(pi, 0)
-        zero = jnp.zeros((), pi_.dtype)
+    # deflation is sparse for generic spectra, so most rotations are no-ops:
+    # stable-sort the valid ones to the front (preserving their order) and
+    # run a dynamic-trip while_loop over just those, instead of an n-step
+    # scan of mostly-dead iterations
+    c_a, s_a, pi_a, i_a = rots
+    validm = pi_a >= 0
+    order_r = jnp.argsort(jnp.where(validm, 0, 1), stable=True)
+    c_a, s_a, pi_a, i_a = (c_a[order_r], s_a[order_r],
+                           pi_a[order_r], i_a[order_r])
+    nvalid = jnp.sum(validm.astype(jnp.int32))
+    zero = jnp.zeros((), i_a.dtype)
+
+    def rot_body(carry):
+        qt, k = carry
+        c = c_a[k]
+        s = s_a[k]
+        pi_ = jnp.maximum(pi_a[k], 0)
+        i = i_a[k]
         rowp = lax.dynamic_slice(qt, (pi_, zero), (1, n))
         rowi = lax.dynamic_slice(qt, (i, zero), (1, n))
         newp = c * rowp + s * rowi
         newi = -s * rowp + c * rowi
-        qt = lax.dynamic_update_slice(qt, jnp.where(valid, newp, rowp), (pi_, zero))
-        qt = lax.dynamic_update_slice(qt, jnp.where(valid, newi, rowi), (i, zero))
-        return qt, None
+        qt = lax.dynamic_update_slice(qt, newp, (pi_, zero))
+        qt = lax.dynamic_update_slice(qt, newi, (i, zero))
+        return qt, k + 1
 
-    qt, _ = lax.scan(apply_rot, qt, rots)
+    qt, _ = lax.while_loop(lambda ca: ca[1] < nvalid, rot_body,
+                           (qt, jnp.int32(0)))
 
     # rank-one eigenvectors: qv[j, i] = zhat_j / (ds_j - lam_i), with the
     # denominator formed through the anchored root representation

@@ -392,24 +392,30 @@ def _dc_dist_shardfn(d, e, *, laed4_iter, levels, nblocks, D):
                               jnp.concatenate([q_loc, zeros], axis=0),
                               jnp.concatenate([zeros, q_loc], axis=0))
             # deflation Givens rotations on columns of Q = rows of Q^T,
-            # translated to pre-perm column indices
-            def apply_rot(qm, rot):
-                c, s, pi, i = rot
-                valid = pi >= 0
-                pi_o = perm[jnp.maximum(pi, 0)]
-                i_o = perm[i]
-                zero = jnp.zeros((), i_o.dtype)
+            # translated to pre-perm column indices; valid rotations are
+            # stable-sorted first and applied with a dynamic-trip while_loop
+            # (deflation is sparse — see tridiag_dc._merge_vectors)
+            rc, rs, rpi, ri = rots
+            validm = rpi >= 0
+            order_r = jnp.argsort(jnp.where(validm, 0, 1), stable=True)
+            rc, rs, rpi, ri = rc[order_r], rs[order_r], rpi[order_r], ri[order_r]
+            nvalid = jnp.sum(validm.astype(jnp.int32))
+            zero = jnp.zeros((), ri.dtype)
+
+            def rot_body(carry):
+                qm, kk = carry
+                pi_o = perm[jnp.maximum(rpi[kk], 0)].astype(jnp.int32)
+                i_o = perm[ri[kk]].astype(jnp.int32)
                 rowp = lax.dynamic_slice(qm, (pi_o, zero), (1, rows_loc))
                 rowi = lax.dynamic_slice(qm, (i_o, zero), (1, rows_loc))
-                newp = c * rowp + s * rowi
-                newi = -s * rowp + c * rowi
-                qm = lax.dynamic_update_slice(
-                    qm, jnp.where(valid, newp, rowp), (pi_o, zero))
-                qm = lax.dynamic_update_slice(
-                    qm, jnp.where(valid, newi, rowi), (i_o, zero))
-                return qm, None
+                newp = rc[kk] * rowp + rs[kk] * rowi
+                newi = -rs[kk] * rowp + rc[kk] * rowi
+                qm = lax.dynamic_update_slice(qm, newp, (pi_o, zero))
+                qm = lax.dynamic_update_slice(qm, newi, (i_o, zero))
+                return qm, kk + 1
 
-            q_emb, _ = lax.scan(apply_rot, q_emb, rots)
+            q_emb, _ = lax.while_loop(lambda ca: ca[1] < nvalid, rot_body,
+                                      (q_emb, jnp.int32(0)))
 
             # chunked rank-1 eigenvector factor, with BOTH the sorted-d
             # permutation (rows) and the eigenvalue sort (columns) folded in:
