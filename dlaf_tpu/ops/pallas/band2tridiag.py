@@ -109,11 +109,16 @@ def _make_kernel(*, n, b, nsweeps, ncmax, nlanes, tsteps, ns_total, depth,
                     rbuf.at[slot % nw_r, g],
                     strips_ref.at[s0 + g, :, pl.ds(a0, win)],
                     wsem.at[slot % nw_w, g]))
+            # hh record stored as (nrec+1, ncmax*bpt, 128): 128-wide lane
+            # tiles so the sublane-dim size-1 dynamic slice stays legal for
+            # b > 128 (Mosaic rejects it when the minor dim spans >1 lane
+            # tile); bpt = bp // 128 consecutive rows per (sweep, chase)
+            bpt = hh_s_ref.shape[1]
             cps.append(pltpu.make_async_copy(
                 hh_s_ref.at[slot % nw_w],
-                hh_ref.at[rec_row(s_idx), pl.ds(c_idx, 1), :],
+                hh_ref.at[rec_row(s_idx), pl.ds(c_idx * bpt, bpt), :],
                 hsem.at[slot % nw_w]))
-            return cps  # hh record is lane-padded to a 128 multiple (bp)
+            return cps
 
         def start(cps):
             for cp in cps:
@@ -197,12 +202,13 @@ def _make_kernel(*, n, b, nsweeps, ncmax, nlanes, tsteps, ns_total, depth,
                 blk_w = pltpu.roll(blk_w, r, axis=1)
                 keep = (lanes_w >= r) & (lanes_w < r + 2 * b)
                 rbuf[rslot, g] = jnp.where(keep, blk_w, rbuf[rslot, g])
-            bp = hh_s_ref.shape[2]
+            bpt = hh_s_ref.shape[1]
+            bp = bpt * 128
             hh_row = jnp.where(idx_b1 == 0, tau, v).T      # (1, b)
             if bp > b:
                 hh_row = jnp.concatenate(
                     [hh_row, jnp.zeros((1, bp - b), hh_row.dtype)], axis=1)
-            hh_s_ref[wslot % nw_w] = hh_row
+            hh_s_ref[wslot % nw_w] = hh_row.reshape(bpt, 128)
 
         if serial:
             def body(i, _):
@@ -277,7 +283,8 @@ def band_to_tridiag_strips_pallas(strips, n: int, b: int, sweep_lo=0,
                           nlanes=nlanes, tsteps=tsteps, ns_total=ns_total,
                           depth=depth, nw_w=nw_w, nrec=nrec)
     bp = -(-b // ALIGN) * ALIGN          # lane-aligned reflector record
-    hh0 = jnp.zeros((nrec + 1, ncmax, bp), jnp.float32)
+    bpt = bp // ALIGN                    # 128-wide lane tiles per record row
+    hh0 = jnp.zeros((nrec + 1, ncmax * bpt, ALIGN), jnp.float32)
     lo_arr = jnp.asarray([sweep_lo], jnp.int32)
     strips_out, hh = pl.pallas_call(
         kernel,
@@ -290,7 +297,7 @@ def band_to_tridiag_strips_pallas(strips, n: int, b: int, sweep_lo=0,
                    pl.BlockSpec(memory_space=pltpu.ANY)),
         scratch_shapes=[
             pltpu.VMEM((nw_r, 3, b, win), jnp.float32),
-            pltpu.VMEM((nw_w, 1, bp), jnp.float32),
+            pltpu.VMEM((nw_w, bpt, ALIGN), jnp.float32),
             pltpu.SemaphoreType.DMA((nw_r, 3)),
             pltpu.SemaphoreType.DMA((nw_w, 3)),
             pltpu.SemaphoreType.DMA((nw_w,)),
@@ -301,7 +308,7 @@ def band_to_tridiag_strips_pallas(strips, n: int, b: int, sweep_lo=0,
 
     from ...algos.eigensolver.band_strips import strips_extract_tridiag
     d, e = strips_extract_tridiag(strips_out[:, :, :STRIP_W * b], n, b)
-    hh = hh[:nrec, :, :b]
+    hh = hh[:nrec].reshape(nrec, ncmax, bp)[:, :, :b]
     taus = hh[:, :, 0]
     vs = hh.at[:, :, 0].set(jnp.where(taus != 0, 1.0, 0.0))
     return d, e, vs, taus
