@@ -44,10 +44,10 @@ class TuneParameters:
     # number of secular-equation (laed4) Newton iterations in the tridiagonal
     # divide & conquer merge (analog of tridiag_rank1_* tuning, tune.h:117-124)
     laed4_max_iter: int = 120
-    # band->tridiag kernel selection: "auto" uses the wavefront-pipelined
-    # kernel except on the axon/TPU backend, where batched window scatters
-    # with >= 5 lanes currently fault the worker (backend bug; sequential
-    # kernel is used there); "pipelined"/"sequential" force a choice
+    # band->tridiag kernel selection: "auto" picks the Pallas wavefront
+    # strip kernel on TPU for f32 (manual DMA windows, O(n*b) memory), the
+    # batched dense pipelined kernel on CPU, and the sequential strip kernel
+    # for f64-emulation/complex; "strips"/"pipelined"/"sequential" force one
     band_to_tridiag_kernel: str = "auto"
     # matmul precision for f32 inputs: "default" (bf16 1-pass), "float32"
     # (bf16_3x) or "highest" (bf16_6x); LAPACK-grade residuals need >= float32

@@ -74,3 +74,26 @@ def test_dist_gen_to_std():
     linv = np.linalg.inv(np.asarray(l))
     ref = linv @ np.asarray(a) @ linv.conj().T
     assert np.max(np.abs(np.asarray(dastd.to_global()) - ref)) <= tol(dtype, n, 500)
+
+
+def test_dist_gen_to_std_upper():
+    """uplo='U' distributed gen-to-std (one device-resident transpose)."""
+    import dlaf_tpu as dt
+    from dlaf_tpu.algos.gen_to_std import generalized_to_standard_dist
+    from dlaf_tpu.comm.mesh import Grid
+    from dlaf_tpu.matrix.dist_matrix import DistMatrix
+
+    n, nb = 96, 16
+    a = gen.random_hermitian(jax.random.PRNGKey(0), n, np.dtype("float64"))
+    b = gen.random_hermitian_positive_definite(jax.random.PRNGKey(1), n,
+                                               np.dtype("float64"))
+    u = dt.potrf(b, uplo="U", nb=32)
+    grid = Grid((2, 4))
+    da = DistMatrix.from_global(a, nb, grid)
+    du = DistMatrix.from_global(jnp.triu(u), nb, grid, pad_identity=True)
+    out = generalized_to_standard_dist(da, du, uplo="U")
+    un = np.triu(np.asarray(u))
+    uinv = np.linalg.inv(un)
+    ref = uinv.T @ np.asarray(a) @ uinv
+    got = np.asarray(out.to_global())
+    assert np.max(np.abs(got - ref)) <= 1e-10

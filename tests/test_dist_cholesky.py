@@ -47,3 +47,19 @@ def test_dist_matches_local(grid_size):
     ldist = np.tril(np.asarray(cholesky(dm).to_global()))
     lloc = np.asarray(dt.potrf(a, nb=16))
     assert np.max(np.abs(ldist - lloc)) <= tol(np.dtype("float64"), n, 100)
+
+
+@pytest.mark.parametrize("grid_size,n,nb", [
+    ((2, 3), 200, 32),   # tail panel overshoots padded local tiles
+    ((2, 2), 304, 16),   # many panels, partial tail
+    ((1, 4), 64, 64),    # single-tile matrix, wide-panel clamp
+])
+def test_dist_cholesky_wide_panel_tails(grid_size, n, nb):
+    a = gen.random_hermitian_positive_definite(
+        jax.random.PRNGKey(4), n, np.dtype("float64"))
+    dm = DistMatrix.from_global(a, nb, Grid(grid_size), pad_identity=True)
+    out = cholesky(dm)
+    l = np.tril(np.asarray(out.to_global()))
+    res = np.max(np.abs(l @ l.conj().T - np.asarray(a)))
+    assert res <= 100 * n * np.finfo(np.float64).eps * \
+        np.max(np.abs(np.asarray(a)))

@@ -101,3 +101,16 @@ def test_dist_eigh_band_lt_nb():
             tol * max(np.max(np.abs(an)), 1)
     finally:
         dt.set_tune_parameters(eigensolver_min_band=old)
+
+
+def test_eigvalsh_dist():
+    """Distributed eigenvalues-only driver (device-resident + fallback)."""
+    from dlaf_tpu.algos.eigensolver.dist_driver import eigvalsh_dist
+
+    for gs, n, nb in (((2, 4), 128, 16), ((2, 3), 96, 16)):
+        a = gen.random_hermitian(jax.random.PRNGKey(7), n, np.dtype("float64"))
+        dm = DistMatrix.from_global(a, nb, Grid(gs))
+        w = np.asarray(eigvalsh_dist(dm))
+        ref = np.linalg.eigvalsh(np.asarray(a))
+        assert np.max(np.abs(w - ref)) <= 100 * n * eps(np.float64) * \
+            max(np.max(np.abs(ref)), 1)
