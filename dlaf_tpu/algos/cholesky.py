@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-from ..comm import collectives as coll
+from ..comm import collectives as coll, panel
 from ..comm.mesh import COL_AXIS, ROW_AXIS
 from ..matrix.dist_matrix import DistMatrix
 from ..ops import blocked
@@ -105,19 +105,14 @@ def _tile_step(a, kt, *, nb, leaf_nb, offr, offc, row_tile, col_tile,
     w = coll.bcast(jnp.where(q == owner_q, wl, jnp.zeros_like(wl)),
                    owner_q, COL_AXIS)
 
-    # 4. transposed panel: every rank needs L(j, kt) for its local col tiles.
-    #    all_gather over the row axis then gather the owned rows. Window row
-    #    index t maps to global tile t + offr * P.
-    wall = lax.all_gather(w, ROW_AXIS)                   # (P, lm, nb)
+    # 4. transposed panel: every rank needs L(j, kt) for its local col tiles
+    #    (reference transposed Panel broadcast, broadcast_panel.h:125). Window
+    #    row index t maps to global tile t + offr * P; out-of-range col_tile
+    #    entries (padding / non-trailing tiles) rely on the clamp-into-padding
+    #    invariant documented in comm/panel.py — the masks below discard them.
     lmt = lm // nb
-    wg = wall.reshape(Pn, lmt, nb, nb).transpose(1, 0, 2, 3).reshape(Pn * lmt, nb, nb)
-    # invariant: the take index can fall outside [0, Pn*lmt) for col_tile
-    # entries that are PADDING column tiles (global tile >= nrt) or non-
-    # trailing tiles (<= kt, incl. below the window base offr*P); jnp.take's
-    # clamp ('clip') gather semantics return junk there, which the mask on
-    # the next line and the trailing tril mask discard — a layout change
-    # that breaks this must mask col_tile explicitly
-    wt = jnp.take(wg, col_tile - offr * Pn, axis=0).reshape(ln, nb)
+    wt = panel.take_tiles(panel.all_tiles(w, ROW_AXIS, nb),
+                          col_tile - offr * Pn).reshape(ln, nb)
     wt = jnp.where(valid & (col_tile.repeat(nb) > kt)[:, None], wt,
                    jnp.zeros_like(wt))
 

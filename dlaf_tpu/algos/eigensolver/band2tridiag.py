@@ -222,7 +222,6 @@ def band_to_tridiag_auto(band_dense, b: int):
     otherwise (f64 emulation / complex, which Mosaic does not support).
     """
     from ...tune import get_tune_parameters
-    from ...types import is_complex_dtype
     kind = get_tune_parameters().band_to_tridiag_kernel
     n = band_dense.shape[0]
     if kind == "sequential":
@@ -235,6 +234,11 @@ def band_to_tridiag_auto(band_dense, b: int):
         from .band_strips import band_to_strips, band_to_tridiag_strips
         on_tpu = jax.default_backend() in ("tpu", "axon")
         f32 = band_dense.dtype == jnp.float32
+        if kind == "pallas" and not (on_tpu and f32 and b >= 8):
+            raise ValueError(
+                "band_to_tridiag_kernel='pallas' needs a TPU backend, f32 "
+                f"band data and b >= 8 (got backend={jax.default_backend()!r},"
+                f" dtype={band_dense.dtype}, b={b}); use 'auto' or 'strips'")
         if kind == "strips" or (on_tpu and not (f32 and b >= 8)):
             strips = band_to_strips(band_dense, b)
             return band_to_tridiag_strips(strips, n, b)

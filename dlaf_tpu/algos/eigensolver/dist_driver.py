@@ -91,9 +91,20 @@ def eigh_dist(a: DistMatrix, laed4_iter: int | None = None):
     return w[:n], DistMatrix(vdata, a.dist, a.grid)
 
 
+_GATHERED_WARNED = [False]
+
+
 def _eigh_dist_gathered(a: DistMatrix, laed4: int):
     """Round-1 fallback for unsupported grids (non-power-of-2 device count):
     distributed stage 1, host-gathered stages 2/3 with sharding hints."""
+    if not _GATHERED_WARNED[0]:
+        _GATHERED_WARNED[0] = True
+        import logging
+        logging.getLogger("dlaf_tpu").warning(
+            "eigh_dist: %d devices is not supported by the device-resident "
+            "D&C pipeline (needs a power-of-2 count dividing the padded "
+            "size); falling back to the host-gathered stages 2/3 — expect a "
+            "large per-host memory/latency cliff", a.grid.mesh.devices.size)
     n = a.dist.size[0]
     nb = a.block_size
     pm = a.dist.padded_size[0]

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-from ...comm import collectives as coll
+from ...comm import panel
 from ...comm.mesh import COL_AXIS, ROW_AXIS
 from ...matrix.dist_matrix import DistMatrix
 from ...ops.core import ct, matmul_precision
@@ -61,24 +61,8 @@ def band_window_buckets(npanels: int, band: int, nb: int, Pn: int, Qn: int,
     return buckets
 
 
-def _gather_col_band(a, j0, band, nb, lmt, offc=0):
-    """Window-local shard -> replicated (n_w, band) global column block at
-    (traced) global column j0; rows are the window's contiguous global range
-    starting at tile offr*P (the caller masks)."""
-    q = lax.axis_index(COL_AXIS)
-    Pn = lax.axis_size(ROW_AXIS)
-    Qn = lax.axis_size(COL_AXIS)
-    lm = a.shape[0]
-    j0 = jnp.asarray(j0, jnp.int32)
-    kt = j0 // nb
-    lc = (kt // Qn - offc) * nb + j0 % nb
-    slab = lax.dynamic_slice(a, (jnp.int32(0), lc), (lm, band))
-    slab = coll.bcast(jnp.where(q == kt % Qn, slab, jnp.zeros_like(slab)),
-                      kt % Qn, COL_AXIS)
-    allr = lax.all_gather(slab, ROW_AXIS)            # (P, lm, band)
-    # reorder to contiguous global rows: window tile g = lt * P + p
-    return allr.reshape(Pn, lmt, nb, band).transpose(1, 0, 2, 3).reshape(
-        Pn * lmt * nb, band)
+# single audited panel-gather implementation (reference matrix/panel.h:43)
+_gather_col_band = panel.gather_col_panel
 
 
 def _gather_col_block(a, kt, nb, lmt):

@@ -23,15 +23,14 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from ...comm.mesh import COL_AXIS, ROW_AXIS
 from ...matrix.dist_matrix import DistMatrix
 from ...ops.core import ct, matmul_precision
 from ...ops.householder import t_factor
-from ...types import is_complex_dtype
-from .band_strips import COL_BASE, STRIP_W, n_strips
-from .dist_red2band import _gather_col_band, _gather_col_block
+from .band_strips import STRIP_W, n_strips
+from ...comm.panel import gather_col_panel
 
 AXES = (ROW_AXIS, COL_AXIS)
 
@@ -293,7 +292,7 @@ def _bt_r2b_shardfn(qc, a4, taus, *, nb, band, npanels, pm):
         kk = npanels - 1 - jnp.asarray(k, jnp.int32)
         j0 = kk * band
         r0 = j0 + band
-        panel = _gather_col_band(a, j0, band, nb, lmt).astype(dt_)  # (pm, band)
+        panel = gather_col_panel(a, j0, band, nb, lmt).astype(dt_)  # (pm, band)
         head = r0 + jnp.arange(band)
         v = jnp.where(rows[:, None] > head[None, :], panel, 0)
         v = v + jnp.where(rows[:, None] == head[None, :], 1.0, 0).astype(dt_)

@@ -60,7 +60,7 @@ def dc_dist_supported(n: int, ndev: int) -> bool:
 def _deflate(d, z, rho, tol_scale):
     """Sorted-d deflation analysis; all outputs replicated.
 
-    Returns (ds, zmask, perm, deflated, rots, tol).
+    Returns (ds, zmask, zs2, perm, deflated, rots, tol).
     """
     n = d.shape[0]
     dt = d.dtype

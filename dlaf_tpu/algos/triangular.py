@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-from ..comm import collectives as coll
+from ..comm import collectives as coll, panel
 from ..comm.mesh import COL_AXIS, ROW_AXIS
 from ..matrix.dist_matrix import DistMatrix
 from ..ops import blocked
@@ -32,34 +32,23 @@ from ..types import is_complex_dtype
 def _mult_panel(a, kt, *, nb, trans, lmt_b, row_tile_b, offr=0):
     """Gather op(A)(i, kt) for the B row-tile window [offr, offr + lmt_b) of
     this rank -> (lmt_b * nb, nb) panel (zero where masked later)."""
-    p = lax.axis_index(ROW_AXIS)
-    q = lax.axis_index(COL_AXIS)
     Pn = lax.axis_size(ROW_AXIS)
     Qn = lax.axis_size(COL_AXIS)
     lm, ln = a.shape
     if trans == "N":
-        # column kt of A lives on grid col kt % Q; broadcast along 'c'
-        lk_c = kt // Qn
-        col = lax.dynamic_slice(a, (0, lk_c * nb), (lm, nb))
-        col = coll.bcast(jnp.where(q == (kt % Qn), col, jnp.zeros_like(col)),
-                         kt % Qn, COL_AXIS)
-        # rows of `col` are already this rank's local row tiles (A and B share
-        # the row distribution); slice to the window
+        # column kt of A lives on grid col kt % Q; broadcast along 'c'.
+        # Rows of the slab are already this rank's local row tiles (A and B
+        # share the row distribution); slice to the window
+        col = panel.bcast_col_slab(a, (kt // Qn) * nb, kt % Qn, nb)
         return col[offr * nb:offr * nb + lmt_b * nb]
     # op(A)(i, kt) = op of A(kt, i): row kt of A, on grid row kt % P;
-    # broadcast along 'r', then redistribute row->col via all_gather over 'c'
-    lk_r = kt // Pn
-    row = lax.dynamic_slice(a, (lk_r * nb, 0), (nb, ln))
-    row = coll.bcast(jnp.where(p == (kt % Pn), row, jnp.zeros_like(row)),
-                     kt % Pn, ROW_AXIS)
-    rall = lax.all_gather(row, COL_AXIS)               # (Q, nb, ln)
-    lnt = ln // nb
-    rg = rall.reshape(Qn, nb, lnt, nb).transpose(2, 0, 1, 3).reshape(lnt * Qn, nb, nb)
-    # local B row tile i (global row_tile_b) needs A(kt, gi) -> op -> (nb, nb)
-    # (row_tile_b entries past rg's extent are padding tiles; jnp.take clamps
-    # and the clamped junk lands only in masked padding rows — see the
-    # invariant note in algos/cholesky.py)
-    tiles = jnp.take(rg, row_tile_b, axis=0)           # (lmt_b, nb, nb)
+    # broadcast along 'r', then redistribute row->col (transposed-Panel
+    # pattern). row_tile_b entries past the gathered extent are padding
+    # tiles — the clamp-into-padding invariant (comm/panel.py) applies;
+    # the caller's mask discards those rows.
+    row = panel.bcast_row_slab(a, (kt // Pn) * nb, kt % Pn, nb)
+    tiles = panel.take_tiles(panel.all_tiles(row, COL_AXIS, nb),
+                             row_tile_b)               # (lmt_b, nb, nb)
     if trans == "C" and is_complex_dtype(a.dtype):
         tiles = jnp.conj(tiles)
     # op transposes each tile: panel rows = global row elements

@@ -247,17 +247,40 @@ dlaf_pssyevd = _scalapack_entry(dlaf_symmetric_eigensolver, np.float32)
 dlaf_pdsyevd = _scalapack_entry(dlaf_symmetric_eigensolver, np.float64)
 
 
-def dlaf_pssygvd(uplo, n, a, b, ia, ja, desca, ctx):
-    desc = DLAF_descriptor.from_scalapack(desca) \
-        if not isinstance(desca, DLAF_descriptor) else desca
-    return dlaf_symmetric_generalized_eigensolver(ctx, uplo,
-                                                  np.asarray(a, np.float32),
-                                                  np.asarray(b, np.float32), desc)
+def _sygvd_entry(dtype, factorized=False):
+    """Two-matrix ScaLAPACK entry with tile-aligned ia/ja (and optional
+    ib/jb) offsets, routed like the potrf/syevd wrappers (reference
+    ``dlaf_pssygvd``: per-matrix (i, j, desc) triplets,
+    ``include/dlaf_c/eigensolver/gen_eigensolver.h:147-164``)."""
+
+    def wrapper(uplo, n, a, b, ia, ja, desca, ctx, ib=None, jb=None,
+                descb=None):
+        desc = DLAF_descriptor.from_scalapack(desca) \
+            if not isinstance(desca, DLAF_descriptor) else desca
+        descb_ = desc if descb is None else (
+            DLAF_descriptor.from_scalapack(descb)
+            if not isinstance(descb, DLAF_descriptor) else descb)
+        a = np.asarray(a, dtype)
+        b = np.asarray(b, dtype)
+
+        def sub(x, d, i0, j0):
+            if i0 == 0 and j0 == 0 and n == d.m:
+                return x, d
+            assert i0 % d.mb == 0 and j0 % d.nb == 0, \
+                "ia/ja must be tile-aligned (reference requires block alignment)"
+            assert i0 + n <= d.m and j0 + n <= d.n
+            return (np.ascontiguousarray(x[i0:i0 + n, j0:j0 + n]),
+                    dataclasses.replace(d, m=n, n=n, i=i0, j=j0))
+
+        suba, subdesc = sub(a, desc, ia - 1, ja - 1)
+        subb, _ = sub(b, descb_, (ib or ia) - 1, (jb or ja) - 1)
+        return dlaf_symmetric_generalized_eigensolver(
+            ctx, uplo, suba, subb, subdesc, factorized=factorized)
+
+    return wrapper
 
 
-def dlaf_pdsygvd(uplo, n, a, b, ia, ja, desca, ctx):
-    desc = DLAF_descriptor.from_scalapack(desca) \
-        if not isinstance(desca, DLAF_descriptor) else desca
-    return dlaf_symmetric_generalized_eigensolver(ctx, uplo,
-                                                  np.asarray(a, np.float64),
-                                                  np.asarray(b, np.float64), desc)
+dlaf_pssygvd = _sygvd_entry(np.float32)
+dlaf_pdsygvd = _sygvd_entry(np.float64)
+dlaf_pssygvd_factorized = _sygvd_entry(np.float32, factorized=True)
+dlaf_pdsygvd_factorized = _sygvd_entry(np.float64, factorized=True)

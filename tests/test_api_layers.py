@@ -129,6 +129,35 @@ def test_pdpotrf_submatrix_offset():
     sl.dlaf_free_grid(ctx)
 
 
+def test_pdsygvd_submatrix_offset():
+    """Tile-aligned ia/ja offsets on the GENERALIZED entry (reference
+    dlaf_pssygvd per-matrix (i, j, desc) triplets,
+    include/dlaf_c/eigensolver/gen_eigensolver.h:147-164)."""
+    m, nsub, nb = 64, 32, 16
+    rng = np.random.default_rng(6)
+    fulla = rng.standard_normal((m, m))
+    fullb = rng.standard_normal((m, m))
+    asub = np.asarray(gen.random_hermitian(jax.random.PRNGKey(7), nsub,
+                                           np.float64))
+    bsub = np.asarray(gen.random_hermitian_positive_definite(
+        jax.random.PRNGKey(8), nsub, np.float64))
+    i0, j0 = 16, 32   # distinct tile-aligned offsets
+    fulla[i0:i0 + nsub, j0:j0 + nsub] = asub
+    ib0 = jb0 = 0
+    fullb[ib0:ib0 + nsub, jb0:jb0 + nsub] = bsub
+    ctx = sl.dlaf_create_grid(2, 2)
+    import dlaf_tpu
+    dlaf_tpu.set_tune_parameters(eigensolver_min_band=8, default_block_size=16)
+    try:
+        desc = sl.DLAF_descriptor(m=m, n=m, mb=nb, nb=nb)
+        w, x = sl.dlaf_pdsygvd("L", nsub, fulla, fullb, i0 + 1, j0 + 1, desc,
+                               ctx, ib=ib0 + 1, jb=jb0 + 1)
+        np.testing.assert_allclose(asub @ x, bsub @ x * w[None, :], atol=1e-8)
+    finally:
+        dlaf_tpu.tune.reset_tune_parameters()
+        sl.dlaf_free_grid(ctx)
+
+
 def test_matrix_file(tmp_path):
     f = MatrixFile(str(tmp_path / "dump"))
     a = np.random.default_rng(0).standard_normal((8, 8))
