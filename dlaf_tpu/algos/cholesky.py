@@ -35,11 +35,15 @@ from jax.sharding import PartitionSpec as P
 from ..comm import collectives as coll, panel
 from ..comm.mesh import COL_AXIS, ROW_AXIS
 from ..matrix.dist_matrix import DistMatrix
-from ..ops import blocked
-from ..ops.core import ct, matmul_precision
+from ..ops import leaf
+from ..ops.core import ct, matmul_precision, mmt
+from ..ops.householder import tri_inv
 from ..tune import get_tune_parameters
 
 N_WINDOW_BUCKETS = 8
+# column chunks per wide trailing update (staircase herk approximation:
+# computed area = (1/2 + 1/(2*chunks)) of the full rectangle)
+N_TRAIL_CHUNKS = 16
 
 
 def window_buckets(nrt: int, Pn: int, Qn: int, nwin: int = N_WINDOW_BUCKETS,
@@ -58,7 +62,7 @@ def window_buckets(nrt: int, Pn: int, Qn: int, nwin: int = N_WINDOW_BUCKETS,
     return buckets
 
 
-def _tile_step(a, kt, *, nb, leaf_nb, offr, offc, row_tile, col_tile,
+def _tile_step(a, kt, *, nb, offr, offc, row_tile, col_tile,
                pl_lc0, pl_w, pl_end, valid):
     """Factor tile kt, solve its panel, and update ONLY the remaining panel
     columns (the contiguous ``pl_w`` local tiles from local tile ``pl_lc0``).
@@ -81,13 +85,15 @@ def _tile_step(a, kt, *, nb, leaf_nb, offr, offc, row_tile, col_tile,
     #    that the masked psum discards; invalid tail tiles factor identity)
     tile = lax.dynamic_slice(a, (lk_r * nb, lk_c * nb), (nb, nb))
     tile = jnp.where(valid, tile, jnp.eye(nb, dtype=a.dtype))
-    lkk = blocked.potrf_lower(tile, leaf_nb)
+    lkk = leaf.potrf_leaf(tile)
     lkk = coll.bcast2d(lkk, (owner_p, owner_q), (ROW_AXIS, COL_AXIS))
 
-    # 2. panel solve on the owning grid column: slab <- slab * Lkk^-H
+    # 2. panel solve on the owning grid column: slab <- slab * Lkk^-H.
+    #    One tile-scope inverse + ONE wide MXU GEMM (same inverted-diagonal
+    #    scheme and scope as the local path, ops/blocked.py potrf_lower) —
+    #    a leaf-blocked trsm here shreds the solve into nb/leaf narrow GEMMs.
     slab = lax.dynamic_slice(a, (0, lk_c * nb), (lm, nb))
-    solved = blocked.trsm(slab, lkk, side="R", lower=True, trans="C",
-                          unit=False, nb=leaf_nb)
+    solved = mmt(slab, tri_inv(lkk, lower=True, nb=64))
     below = valid & (row_tile.repeat(nb) > kt)[:, None]
     newslab = jnp.where(below, solved, slab)
     cur = lax.dynamic_slice(newslab, (lk_r * nb, 0), (nb, nb))
@@ -141,7 +147,142 @@ def _tile_step(a, kt, *, nb, leaf_nb, offr, offc, row_tile, col_tile,
     return a, w, wt
 
 
-def _dist_potrf_shardfn(a4, *, nb, nrt, leaf_nb, wt_tiles):
+def _tile_step_static(a, kt, *, nb, offr, pl_c0, pl_c1, pl_end,
+                      row_tile, col_tile, glob_row, glob_col):
+    """Unrolled-panel tile step: ``kt`` and the window offsets are Python
+    ints, so every slice is static, no validity masking is needed, and the
+    trailing structure is exact (no stale columns). Operates on the FULL
+    local shard ``a`` with absolute local offsets; ``offr``/``pl_c0`` are
+    the panel's exact local row/col window tiles (= kt0 // P, kt0 // Q).
+
+    Returns (a, w, wt): the solved below-rows panel for local rows from tile
+    ``offr`` and its transposed extraction for local cols from tile
+    ``pl_c0``, ready for the wide trailing GEMM.
+    """
+    p = lax.axis_index(ROW_AXIS)
+    q = lax.axis_index(COL_AXIS)
+    Pn = lax.axis_size(ROW_AXIS)
+    Qn = lax.axis_size(COL_AXIS)
+    lm, ln = a.shape
+    lmt, lnt = lm // nb, ln // nb
+    owner_p, owner_q = kt % Pn, kt % Qn
+    lk_r, lk_c = kt // Pn, kt // Qn
+    r0 = offr * nb
+
+    # 1. factor + 2-D broadcast of the diagonal tile (non-owners factor
+    #    junk that the masked psum discards)
+    tile = a[lk_r * nb:(lk_r + 1) * nb, lk_c * nb:(lk_c + 1) * nb]
+    lkk = leaf.potrf_leaf(tile)
+    lkk = coll.bcast2d(lkk, (owner_p, owner_q), (ROW_AXIS, COL_AXIS))
+
+    # 2. panel solve on the owning grid column (window rows only): one
+    #    tile-scope inverse + ONE wide MXU GEMM (local-path inverted-diagonal
+    #    scheme, ops/blocked.py potrf_lower)
+    slab = a[r0:, lk_c * nb:(lk_c + 1) * nb]
+    solved = mmt(slab, tri_inv(lkk, lower=True, nb=64))
+    below = (row_tile[offr:].repeat(nb) > kt)[:, None]
+    newslab = jnp.where(below, solved, slab)
+    c0, c1 = (lk_r - offr) * nb, (lk_r - offr + 1) * nb
+    cur = newslab[c0:c1]
+    merged = jnp.where(jnp.tril(jnp.ones((nb, nb), jnp.bool_)), lkk, cur)
+    newslab = newslab.at[c0:c1].set(jnp.where(p == owner_p, merged, cur))
+    a = a.at[r0:, lk_c * nb:(lk_c + 1) * nb].set(
+        jnp.where(q == owner_q, newslab, slab))
+
+    # 3. row-axis broadcast of the solved panel
+    wl = jnp.where(below, newslab, jnp.zeros_like(newslab))
+    w = coll.bcast(jnp.where(q == owner_q, wl, jnp.zeros_like(wl)),
+                   owner_q, COL_AXIS)
+
+    # 4. transposed panel for local cols >= the panel start (clamp-into-
+    #    padding invariant: junk rows are masked by col_tile > kt; padding
+    #    col tiles update only padding columns)
+    wt = panel.take_tiles(panel.all_tiles(w, ROW_AXIS, nb),
+                          col_tile[pl_c0:] - offr * Pn)
+    wt = wt.reshape((lnt - pl_c0) * nb, nb)
+    wt = jnp.where((col_tile[pl_c0:].repeat(nb) > kt)[:, None], wt,
+                   jnp.zeros_like(wt))
+
+    # 5. panel-restricted rank-nb trailing update, on the statically
+    #    remaining panel cols only: min over ranks q of the first local tile
+    #    holding a global tile > kt is floor((kt+1)/Q)
+    pu_c0 = max(pl_c0, (kt + 1) // Qn)
+    if pu_c0 < pl_c1:
+        o = (pu_c0 - pl_c0) * nb
+        pw = (pl_c1 - pl_c0) * nb
+        upd = mmt(w, wt[o:pw])
+        mask = (glob_row[r0:, None] >=
+                glob_col[None, pu_c0 * nb:pl_c1 * nb]) & \
+            (col_tile[pu_c0:pl_c1].repeat(nb) < pl_end)[None, :]
+        pslab = a[r0:, pu_c0 * nb:pl_c1 * nb]
+        a = a.at[r0:, pu_c0 * nb:pl_c1 * nb].set(
+            pslab - jnp.where(mask, upd, 0))
+    return a, w, wt
+
+
+def _dist_potrf_unrolled_shardfn(a4, *, nb, nrt, wt_tiles):
+    """Python-unrolled panel loop: each wide panel gets exact static window
+    offsets (offr = kt0 // P, pl_c0 = kt0 // Q), so the staircase trailing
+    chunks compute no stale columns and need no runtime cond — the measured
+    1.8x dist/local overhead of the bucketed path was mostly stale-column
+    flops + ``lax.cond`` copy traffic. Used when the panel count is small
+    enough to unroll (see ``cholesky``)."""
+    a = a4[0, 0]
+    p = lax.axis_index(ROW_AXIS)
+    q = lax.axis_index(COL_AXIS)
+    Pn = lax.axis_size(ROW_AXIS)
+    Qn = lax.axis_size(COL_AXIS)
+    lm, ln = a.shape
+    lmt, lnt = lm // nb, ln // nb
+    row_tile = jnp.arange(lmt) * Pn + p
+    col_tile = jnp.arange(lnt) * Qn + q
+    glob_row = row_tile.repeat(nb) * nb + jnp.tile(jnp.arange(nb), lmt)
+    glob_col = col_tile.repeat(nb) * nb + jnp.tile(jnp.arange(nb), lnt)
+
+    npanels = -(-nrt // wt_tiles)
+    for pk in range(npanels):
+        kt0 = pk * wt_tiles
+        offr = kt0 // Pn
+        pl_c0 = kt0 // Qn
+        pl_c1 = min(pl_c0 + wt_tiles // Qn, lnt)
+        ws, wts = [], []
+        for j in range(wt_tiles):
+            kt = kt0 + j
+            if kt >= nrt:
+                break
+            a, w, wtj = _tile_step_static(
+                a, kt, nb=nb, offr=offr, pl_c0=pl_c0,
+                pl_c1=pl_c1, pl_end=kt0 + wt_tiles, row_tile=row_tile,
+                col_tile=col_tile, glob_row=glob_row, glob_col=glob_col)
+            ws.append(w)
+            wts.append(wtj)
+        if pl_c1 >= lnt:
+            continue
+
+        # wide staircase trailing update over local col tiles [pl_c1, lnt):
+        # k = len(ws)*nb GEMM per chunk, rows starting at the chunk's
+        # conservative diagonal tile (reference trailing herk/gemm,
+        # factorization/cholesky/impl.h:273-300). Computed area =
+        # (1/2 + 1/(2*chunks)) of the full rectangle.
+        wide = jnp.concatenate(ws, axis=1)
+        wide_t = jnp.concatenate(wts, axis=1)[(pl_c1 - pl_c0) * nb:]
+        lnt_tr = lnt - pl_c1
+        nch = min(N_TRAIL_CHUNKS, lnt_tr)
+        cw = -(-lnt_tr // nch)
+        for c0 in range(pl_c1, lnt, cw):
+            c1 = min(lnt, c0 + cw)
+            gmin = c0 * Qn   # min global col tile of the chunk over ranks
+            t0 = min(max(offr, -(-(gmin - Pn + 1) // Pn)), lmt - 1)
+            u = mmt(wide[(t0 - offr) * nb:],
+                    wide_t[(c0 - pl_c1) * nb:(c1 - pl_c1) * nb])
+            tril = glob_row[t0 * nb:, None] >= glob_col[None,
+                                                        c0 * nb:c1 * nb]
+            a = a.at[t0 * nb:, c0 * nb:c1 * nb].add(
+                -jnp.where(tril, u, jnp.zeros_like(u)))
+    return a[None, None]
+
+
+def _dist_potrf_shardfn(a4, *, nb, nrt, wt_tiles):
     a = a4[0, 0]
     p = lax.axis_index(ROW_AXIS)
     q = lax.axis_index(COL_AXIS)
@@ -172,24 +313,53 @@ def _dist_potrf_shardfn(a4, *, nb, nrt, leaf_nb, wt_tiles):
         for j in range(wt_tiles):
             kt = kt0 + j
             a, w, wtj = _tile_step(
-                a, kt, nb=nb, leaf_nb=leaf_nb, offr=offr, offc=offc,
+                a, kt, nb=nb, offr=offr, offc=offc,
                 row_tile=row_tile_w, col_tile=col_tile_w,
                 pl_lc0=pl_lc0, pl_w=pl_w, pl_end=kt0 + wt_tiles,
                 valid=kt < nrt)
             ws.append(w)
             wts.append(wtj)
 
-        # wide trailing update: ONE k = wt*nb GEMM right of the panel
+        # wide trailing update: k = wt*nb GEMMs right of the panel
         # (reference trailing herk/gemm over the whole panel,
-        # factorization/cholesky/impl.h:273-300)
+        # factorization/cholesky/impl.h:273-300). A single window-wide GEMM
+        # computes the full (lm_w x ln_w) rectangle and masks the upper
+        # triangle away — ~2x the herk flops (measured 1.76x local time on a
+        # 1x1 grid). Instead: a STAIRCASE of static column chunks, each
+        # starting its rows at the chunk's conservative diagonal tile, with
+        # chunks entirely left of the trailing region skipped at runtime.
         wide = jnp.concatenate(ws, axis=1)               # (lm, wt*nb)
         wide_t = jnp.concatenate(wts, axis=1)            # (ln, wt*nb)
         # zero the panel's own columns so only tiles >= kt0+wt update
         right = (col_tile_w.repeat(nb) >= kt0 + wt_tiles)[:, None]
         wide_t = jnp.where(right, wide_t, 0)
-        upd = jnp.matmul(wide, ct(wide_t), precision=matmul_precision())
-        tril = glob_row_w[:, None] >= glob_col_w[None, :]
-        return a - jnp.where(tril, upd, 0)
+        lmt_w = lm_w // nb
+        nch = min(N_TRAIL_CHUNKS, lnt_w)
+        cw = -(-lnt_w // nch)
+        for c0t in range(0, lnt_w, cw):
+            c1t = min(lnt_w, c0t + cw)
+            # rows needed: global row tile >= min global col tile in chunk
+            # (over ranks q); conservative static start over ranks p
+            gmin = (offc + c0t) * Qn
+            t0 = max(0, -(-(gmin - Pn + 1) // Pn) - offr)
+            if t0 >= lmt_w:
+                continue
+            r0 = t0 * nb
+
+            def upd_chunk(ac, c0t=c0t, c1t=c1t, r0=r0):
+                u = jnp.matmul(wide[r0:], ct(wide_t[c0t * nb:c1t * nb]),
+                               precision=matmul_precision())
+                tril = glob_row_w[r0:, None] >= \
+                    glob_col_w[None, c0t * nb:c1t * nb]
+                return ac - jnp.where(tril, u, 0)
+
+            # skip when the chunk's last possible global col tile is still
+            # left of the trailing region (kt0 is traced -> runtime branch)
+            has_work = (offc + c1t - 1) * Qn + (Qn - 1) >= kt0 + wt_tiles
+            achunk = a[r0:, c0t * nb:c1t * nb]
+            achunk = lax.cond(has_work, upd_chunk, lambda ac: ac, achunk)
+            a = a.at[r0:, c0t * nb:c1t * nb].set(achunk)
+        return a
 
     for k0, k1, offr, offc in window_buckets(npanels, Pn, Qn,
                                              stride=wt_tiles):
@@ -205,19 +375,29 @@ def _dist_potrf_shardfn(a4, *, nb, nrt, leaf_nb, wt_tiles):
     return a[None, None]
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "nrt", "leaf_nb",
-                                             "wt_tiles", "mesh"))
-def _dist_potrf(data, *, nb, nrt, leaf_nb, wt_tiles, mesh):
+def _dist_potrf_impl(data, *, nb, nrt, wt_tiles, mesh, unroll):
     spec = P(ROW_AXIS, COL_AXIS, None, None)
+    shardfn = _dist_potrf_unrolled_shardfn if unroll else _dist_potrf_shardfn
     fn = jax.shard_map(
-        functools.partial(_dist_potrf_shardfn, nb=nb, nrt=nrt,
-                          leaf_nb=leaf_nb, wt_tiles=wt_tiles),
+        functools.partial(shardfn, nb=nb, nrt=nrt, wt_tiles=wt_tiles),
         mesh=mesh, in_specs=(spec,), out_specs=spec,
         check_vma=False)  # Pallas leaf kernels carry no vma metadata
     return fn(data)
 
 
-def cholesky(a: DistMatrix) -> DistMatrix:
+_dist_potrf = functools.partial(jax.jit, static_argnames=(
+    "nb", "nrt", "wt_tiles", "mesh", "unroll"))(_dist_potrf_impl)
+# in-place variant (reference potrf overwrites A): halves peak HBM at scale
+_dist_potrf_donate = functools.partial(jax.jit, static_argnames=(
+    "nb", "nrt", "wt_tiles", "mesh", "unroll"),
+    donate_argnums=(0,))(_dist_potrf_impl)
+
+# unroll the panel loop up to this many wide panels (beyond it, compile time
+# grows linearly and the bucketed fori_loop path takes over)
+UNROLL_MAX_PANELS = 32
+
+
+def cholesky(a: DistMatrix, donate: bool = False) -> DistMatrix:
     """Distributed lower Cholesky: factor in the global lower triangle, the
     strict upper triangle keeps the original content (reference semantics).
 
@@ -233,12 +413,14 @@ def cholesky(a: DistMatrix) -> DistMatrix:
     nrt = a.dist.nr_tiles[0]
     Qn = a.grid.grid_size[1]
     tune = get_tune_parameters()
-    leaf = min(tune.leaf_block_size, nb)
     # panel width, a multiple of Q tiles (contiguous local cols)
     wt_tiles = Qn * max(1, -(-tune.potrf_dist_panel_width // (nb * Qn)))
     wt_tiles = min(wt_tiles, max(Qn, (nrt // Qn) * Qn or Qn))
-    out = _dist_potrf(a.data, nb=nb, nrt=nrt, leaf_nb=leaf,
-                      wt_tiles=wt_tiles, mesh=a.grid.mesh)
+    npanels = -(-nrt // wt_tiles)
+    jitfn = _dist_potrf_donate if donate else _dist_potrf
+    out = jitfn(a.data, nb=nb, nrt=nrt,
+                wt_tiles=wt_tiles, mesh=a.grid.mesh,
+                unroll=npanels <= UNROLL_MAX_PANELS)
     return DistMatrix(out, a.dist, a.grid)
 
 

@@ -1,0 +1,137 @@
+"""Distributed-vs-local performance on a 1x1 grid (single chip).
+
+The 1x1 grid runs the full distributed SPMD program (window buckets,
+masked-psum broadcasts degenerate to copies, staircase trailing chunks) on
+one device — its overhead vs the local recursive-blocked path isolates the
+cost of the distributed formulation itself (reference: the distributed
+k-loop costs the same kernels as local plus comms,
+``factorization/cholesky/impl.h:192-313``).
+
+Writes BENCH_DIST.json:
+  {"potrf_local_s", "potrf_dist_1x1_s", "potrf_dist_over_local",
+   "eigh_local_s", "eigh_dist_1x1_s", "eigh_dist_over_local"}
+
+Usage: python scripts/bench_dist.py [--n 32768] [--nb 512] [--ne 8192]
+                                    [--skip-eigh]
+"""
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+_fence = jax.jit(lambda y: y.ravel()[-1])
+
+
+def _sync(x):
+    float(_fence(x))
+
+
+def _timeit(fn, x, ovh, reps=3):
+    y = fn(x)  # compile + warmup
+    _sync(y)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        y = fn(x)
+        _sync(y)
+        ts.append(time.perf_counter() - t0)
+    return max(min(ts) - ovh, 1e-9)
+
+
+def _timeit_donating(fn, x, ovh, reps=3):
+    """Time a buffer-donating fn: re-copy the input outside the timed
+    region each rep (first rep = compile + warmup, discarded)."""
+    ts = []
+    y = None
+    for i in range(reps + 1):
+        del y
+        xc = jnp.copy(x)
+        xc.block_until_ready()
+        t0 = time.perf_counter()
+        y = fn(xc)
+        _sync(y)
+        if i:
+            ts.append(time.perf_counter() - t0)
+    return max(min(ts) - ovh, 1e-9)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=32768)
+    ap.add_argument("--nb", type=int, default=512)
+    ap.add_argument("--ne", type=int, default=8192)
+    ap.add_argument("--skip-eigh", action="store_true")
+    args = ap.parse_args()
+
+    import dlaf_tpu as dt
+    from dlaf_tpu.algos import cholesky as chol
+    from dlaf_tpu.algos.eigensolver import dist_driver
+    from dlaf_tpu.comm.mesh import Grid
+    from dlaf_tpu.matrix import generators as gen
+    from dlaf_tpu.matrix.dist_matrix import DistMatrix
+
+    dt.set_tune_parameters(matmul_precision="high")
+
+    tiny = jnp.ones((8, 128), jnp.float32)
+    _sync(tiny)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _sync(tiny)
+        ts.append(time.perf_counter() - t0)
+    ovh = min(ts)
+
+    grid = Grid((1, 1))
+    out = {}
+
+    # POTRF
+    n, nb = args.n, args.nb
+    a = gen.random_hermitian_positive_definite(jax.random.PRNGKey(0), n,
+                                               jnp.float32)
+    t_loc = _timeit(jax.jit(lambda x: dt.potrf(x, uplo="U", nb=nb,
+                                               clean=False)), a, ovh)
+    # 1x1 grid, n % nb == 0: canonical layout is a[None, None] (no padded
+    # global copy -- from_global would double HBM at n=32768)
+    from dlaf_tpu.dist import Distribution
+    dist = Distribution((n, n), (nb, nb), grid.grid_size)
+    da = DistMatrix(a[None, None], dist, grid)
+    da.data.block_until_ready()
+    del a  # free the global copy before the distributed solve
+    t_dist = _timeit_donating(lambda d: chol.cholesky(
+        DistMatrix(d, da.dist, da.grid), donate=True).data, da.data, ovh)
+    out["potrf_n"] = n
+    out["potrf_local_s"] = round(t_loc, 3)
+    out["potrf_dist_1x1_s"] = round(t_dist, 3)
+    out["potrf_dist_over_local"] = round(t_dist / t_loc, 4)
+    print(json.dumps({k: out[k] for k in out}))
+
+    if not args.skip_eigh:
+        ne = args.ne
+        ah = gen.random_hermitian(jax.random.PRNGKey(2), ne, jnp.float32)
+        t_le = _timeit(jax.jit(lambda x: dt.eigh(x)[1]), ah, ovh, reps=2)
+        dah = DistMatrix.from_global(ah, 512, grid)
+
+        def eigh_dist_fn(d):
+            w, v = dist_driver.eigh_dist(DistMatrix(d, dah.dist, dah.grid))
+            return v.data
+        t_de = _timeit(eigh_dist_fn, dah.data, ovh, reps=2)
+        out["eigh_n"] = ne
+        out["eigh_local_s"] = round(t_le, 3)
+        out["eigh_dist_1x1_s"] = round(t_de, 3)
+        out["eigh_dist_over_local"] = round(t_de / t_le, 4)
+
+    with open("/root/repo/BENCH_DIST.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
