@@ -21,11 +21,16 @@ jax.Arrays — there is no host gather between ``from_global`` and the result.
     groups broadcast, all flops local (:mod:`dist_stage23`);
   - final: one GSPMD resharding into the canonical block-cyclic layout.
 
-Per-device peak memory: O(n^2/PQ + n*b). Grids whose device count is not a
-power of two fall back to the round-1 gathered pipeline (kept below as
-``_eigh_dist_gathered``).
+Per-device peak memory: O(n^2/PQ + n*b). Any device count runs
+device-resident: non-power-of-2 counts execute the D&C merge tree on the
+largest power-of-2 device subset and re-engage every device for the
+back-transformations (see :mod:`tridiag_dc_dist`). Only the degenerate
+more-devices-than-padded-size case falls back to the gathered pipeline
+(``_eigh_dist_gathered``).
 """
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -42,18 +47,55 @@ from .tridiag_dc import tridiag_eigh
 from .tridiag_dc_dist import dc_dist_supported, tridiag_eigh_dist
 
 
+def _square_lattice(a: DistMatrix) -> DistMatrix:
+    """Embed the canonical shards in a SQUARE padded lattice (pm == pn).
+
+    ``Distribution.padded_size`` rounds rows up by P*mb and columns by Q*nb,
+    so on grids with P != Q (or P == Q with uneven tail tiles) a square
+    matrix can get a non-square canonical lattice — and when pm > pn the
+    eigensolver's decoupled padding diagonal (rows/cols n..pm) would not be
+    representable. Padding every shard with whole zero tiles up to the
+    lcm(P, Q)-aligned square lattice is a purely LOCAL zero-pad in the
+    canonical (P, Q, lm, ln) layout — no data movement.
+    """
+    import math
+
+    from ...dist import Distribution
+    P_, Q_ = a.grid.grid_size
+    mb, nb = a.dist.block_size
+    lmt, lnt = a.dist.max_local_nr_tiles
+    lc = math.lcm(P_, Q_)
+    mt = -(-max(lmt * P_, lnt * Q_) // lc) * lc
+    if (mt * nb, mt * nb) == a.dist.padded_size:
+        return a
+    pad = ((0, 0), (0, 0), (0, (mt // P_ - lmt) * mb),
+           (0, (mt // Q_ - lnt) * nb))
+    dist = Distribution((mt * nb, mt * nb), (nb, nb), a.grid.grid_size)
+    grid = a.grid
+    data = _pad_shards(a.data, pad=pad, sharding=grid.canonical_sharding())
+    return DistMatrix(data, dist, grid)
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "sharding"))
+def _pad_shards(data, *, pad, sharding):
+    return jax.lax.with_sharding_constraint(jnp.pad(data, pad), sharding)
+
+
 def eigh_dist(a: DistMatrix, laed4_iter: int | None = None):
     """Eigen-decomposition of a distributed hermitian matrix (lower stored).
 
     Returns (w (n,), v DistMatrix over the same grid).
     """
     n = a.dist.size[0]
-    pm = a.dist.padded_size[0]
     tune = get_tune_parameters()
     laed4 = laed4_iter or tune.laed4_max_iter
     D = a.grid.mesh.devices.size
+    orig_dist = a.dist
+    a_sq = _square_lattice(a)
+    pm = a_sq.dist.padded_size[0]
     if not dc_dist_supported(pm, D):
         return _eigh_dist_gathered(a, laed4)
+    a = a_sq
 
     from . import dist_stage23 as s23
 
@@ -75,7 +117,7 @@ def eigh_dist(a: DistMatrix, laed4_iter: int | None = None):
     d, e, vs, taus2 = s23.band_to_tridiag_dist(strips, pm, band, mesh)
     er, phases = _phase_normalize(e, dt_)
 
-    w, qc, m = tridiag_eigh_dist(jnp.real(d), er, mesh, laed4)
+    w, qc, m = tridiag_eigh_dist(jnp.real(d), er, mesh, laed4, col_align=nb)
 
     qc = qc.astype(dt_)
     if is_complex_dtype(dt_):
@@ -86,25 +128,25 @@ def eigh_dist(a: DistMatrix, laed4_iter: int | None = None):
         group_size=tune.bt_band_to_tridiag_hh_apply_group_size)
     qc = s23.bt_reduction_to_band_dist(qc, packed, taus1, band)
 
-    vdata = s23.cols_to_canonical(qc, dist=a.dist,
+    vdata = s23.cols_to_canonical(qc, dist=orig_dist,
                                   sharding=a.grid.canonical_sharding())
-    return w[:n], DistMatrix(vdata, a.dist, a.grid)
+    return w[:n], DistMatrix(vdata, orig_dist, a.grid)
 
 
 _GATHERED_WARNED = [False]
 
 
 def _eigh_dist_gathered(a: DistMatrix, laed4: int):
-    """Round-1 fallback for unsupported grids (non-power-of-2 device count):
-    distributed stage 1, host-gathered stages 2/3 with sharding hints."""
+    """Fallback for the degenerate case of more devices than the padded
+    problem size: distributed stage 1, host-gathered stages 2/3."""
     if not _GATHERED_WARNED[0]:
         _GATHERED_WARNED[0] = True
         import logging
         logging.getLogger("dlaf_tpu").warning(
-            "eigh_dist: %d devices is not supported by the device-resident "
-            "D&C pipeline (needs a power-of-2 count dividing the padded "
-            "size); falling back to the host-gathered stages 2/3 — expect a "
-            "large per-host memory/latency cliff", a.grid.mesh.devices.size)
+            "eigh_dist: %d devices exceed the padded problem size, which "
+            "the device-resident D&C pipeline cannot shard; falling back "
+            "to the host-gathered stages 2/3 — expect a large per-host "
+            "memory/latency cliff", a.grid.mesh.devices.size)
     n = a.dist.size[0]
     nb = a.block_size
     pm = a.dist.padded_size[0]
@@ -144,12 +186,14 @@ def eigvalsh_dist(a: DistMatrix, laed4_iter: int | None = None):
     final reshard (reference ``hermitian_eigensolver`` with eigenvalues-only
     allocation, ``eigensolver/eigensolver.h:56``)."""
     n = a.dist.size[0]
-    pm = a.dist.padded_size[0]
     tune = get_tune_parameters()
     laed4 = laed4_iter or tune.laed4_max_iter
     D = a.grid.mesh.devices.size
+    a_sq = _square_lattice(a)
+    pm = a_sq.dist.padded_size[0]
     if not dc_dist_supported(pm, D):
         return _eigh_dist_gathered(a, laed4)[0]
+    a = a_sq
 
     from . import dist_stage23 as s23
     from .driver import get_band_size

@@ -25,9 +25,15 @@ level, inside one ``shard_map`` program:
    back-transformations) is ONE ``lax.all_to_all`` over the flat axis
    (reference: permutations/general/impl.h:230-303 hand-rolled all-to-all).
 
-Per-device peak memory is O(n^2 / D + n). Requires a power-of-2 device
-count dividing the padded size; other configurations fall back to the
-replicated solver (the caller handles this via :func:`dc_dist_supported`).
+Per-device peak memory is O(n^2 / D + n). Non-power-of-2 device counts run
+the merge tree on the largest power-of-2 device subset D2 <= D (inactive
+devices contribute masked zeros to every collective — the reference instead
+supports ragged grids directly in ``mergeDistSubproblems``,
+``merge.h:1810-1941``, exercised by its 6-rank fixture
+``grids_6_ranks.h:25-70``); the final padded all-to-all then hands column
+shards back to ALL D devices, so the back-transformations regain full D-way
+parallelism. Only D > padded-size configurations are unsupported
+(:func:`dc_dist_supported`).
 """
 from __future__ import annotations
 
@@ -46,11 +52,17 @@ from .tridiag_dc import (LEAF, _jacobi_eigh, _merge, _merge_vectors,
 AXES = (ROW_AXIS, COL_AXIS)
 
 
+def pow2_floor(ndev: int) -> int:
+    """Largest power of two <= ndev (the active merge-tree subset size)."""
+    return 1 << (max(ndev, 1).bit_length() - 1)
+
+
 def dc_dist_supported(n: int, ndev: int) -> bool:
     m = LEAF
     while m < n:
         m *= 2
-    return ndev & (ndev - 1) == 0 and m % ndev == 0 and m // ndev >= 1
+    d2 = pow2_floor(ndev)
+    return m % d2 == 0 and m // d2 >= 1
 
 
 # ---------------------------------------------------------------------------
@@ -217,7 +229,7 @@ def _zhat_chunk(ds, zs2, anchor, sgn, troot, deflated, lo, csz):
 # the distributed solver
 
 
-def _dc_dist_shardfn(d, e, *, laed4_iter, levels, nblocks, D):
+def _dc_dist_shardfn(d, e, *, laed4_iter, levels, nblocks, D, cc):
     Z = jnp.int32(0)
     dtv = d.dtype
     m = d.shape[0]
@@ -225,6 +237,11 @@ def _dc_dist_shardfn(d, e, *, laed4_iter, levels, nblocks, D):
     q_ = lax.axis_index(COL_AXIS)
     Qn = lax.axis_size(COL_AXIS)
     did = p * Qn + q_
+    # the merge tree runs on the largest power-of-2 device subset; inactive
+    # devices (did >= D2) execute the same SPMD program on clamped duplicate
+    # data and contribute masked ZEROS to every psum
+    D2 = pow2_floor(D)
+    act = did < D2
 
     # Cuppen tears at every leaf boundary (replicated diagonal-only mod)
     if nblocks > 1:
@@ -247,15 +264,15 @@ def _dc_dist_shardfn(d, e, *, laed4_iter, levels, nblocks, D):
     # major-dimension row ops on TPU. Mode A holds transposed (size, size)
     # batches; mode B holds qt_loc = Q^T[:, row-block] of shape
     # (size, rows_loc) — i.e. the device's row shard of Q, transposed.
-    mode_a = nblocks >= D
+    mode_a = nblocks >= D2
     if mode_a:
-        nb_loc = nblocks // D
+        nb_loc = nblocks // D2
         q_loc = jnp.swapaxes(
             lax.dynamic_slice(q_leaf, (did * nb_loc, Z, Z),
                               (nb_loc, LEAF, LEAF)), 1, 2)
         lam_loc = lax.dynamic_slice(lam_all, (did * nb_loc, Z), (nb_loc, LEAF))
     else:
-        g0 = D // nblocks
+        g0 = D2 // nblocks
         rows0 = LEAF // g0
         bi = did // g0
         gi = did % g0
@@ -267,12 +284,12 @@ def _dc_dist_shardfn(d, e, *, laed4_iter, levels, nblocks, D):
     nbatch = nblocks
     for _lvl in range(levels):
         nb_new = nbatch // 2
-        if nb_new >= D:
+        if nb_new >= D2:
             # ---- mode A: device-local merges (existing batched path) ----
             lam1, lam2 = lam_loc[0::2], lam_loc[1::2]
             q1, q2 = q_loc[0::2], q_loc[1::2]
             nb_loc2 = lam1.shape[0]
-            first_g = did * (nbatch // D) // 2             # first new batch id
+            first_g = did * (nbatch // D2) // 2             # first new batch id
             bnd = (first_g + jnp.arange(nb_loc2)) * (2 * size) + size
             ecut = e[bnd - 1]
             rho = jnp.abs(ecut)
@@ -298,14 +315,15 @@ def _dc_dist_shardfn(d, e, *, laed4_iter, levels, nblocks, D):
                 lam_loc, q_loc = jax.vmap(do_merge)(dcat, zcat, rho, q1, q2)
         else:
             # ---- mode B: row-sharded merges over device groups ----------
-            g_new = D // nb_new
+            g_new = D2 // nb_new
             g_old = g_new // 2
             if lam_loc is not None:
                 # transition A -> B (here nbatch == D, one batch per device):
                 # replicate the eigenvalues; the transposed (size, size) batch
                 # is already qt_loc with rows_loc == size
                 buf = jnp.zeros((nbatch, size), dtv)
-                buf = lax.dynamic_update_slice(buf, lam_loc[0][None], (did, Z))
+                buf = lax.dynamic_update_slice(
+                    buf, jnp.where(act, lam_loc[0], 0)[None], (did, Z))
                 lam_all = lax.psum(lax.psum(buf, ROW_AXIS), COL_AXIS)
                 lam_loc = None
                 rows_loc = size
@@ -328,7 +346,7 @@ def _dc_dist_shardfn(d, e, *, laed4_iter, levels, nblocks, D):
             own_first = (half == 1) & (gi_old == 0)
             zrow = jnp.where(own_last, theta[j] * q_loc[:, -1], 0.0)
             zrow2 = jnp.where(own_first, q_loc[:, 0], 0.0)
-            contrib = jnp.concatenate([zrow, zrow2])
+            contrib = jnp.where(act, jnp.concatenate([zrow, zrow2]), 0)
             zbuf = lax.dynamic_update_slice(zbuf, contrib[None], (j, Z))
             z_all = lax.psum(lax.psum(zbuf, ROW_AXIS), COL_AXIS)
 
@@ -357,7 +375,8 @@ def _dc_dist_shardfn(d, e, *, laed4_iter, levels, nblocks, D):
                 ds, zmask, rho, defl, tolj, lo, csz, laed4_iter)
             # gather roots (zhat needs all anchors/troots): one psum
             rbuf = jnp.zeros((nb_new, 3, 2 * size), dtv)
-            rpack = jnp.stack([anch_c.astype(dtv), sgn_c, troot_c])
+            rpack = jnp.where(
+                act, jnp.stack([anch_c.astype(dtv), sgn_c, troot_c]), 0)
             rbuf = lax.dynamic_update_slice(rbuf, rpack[None], (j, Z, lo))
             rall = lax.psum(lax.psum(rbuf, ROW_AXIS), COL_AXIS)
             anchor_a = rall[:, 0].astype(jnp.int32)
@@ -369,7 +388,8 @@ def _dc_dist_shardfn(d, e, *, laed4_iter, levels, nblocks, D):
 
             zhat_c = _zhat_chunk(ds, zs2, anchor, sgn, troot, defl, lo, csz)
             zbuf2 = jnp.zeros((nb_new, 2 * size), dtv)
-            zbuf2 = lax.dynamic_update_slice(zbuf2, zhat_c[None], (j, lo))
+            zbuf2 = lax.dynamic_update_slice(
+                zbuf2, jnp.where(act, zhat_c, 0)[None], (j, lo))
             zhat_a = lax.psum(lax.psum(zbuf2, ROW_AXIS), COL_AXIS)
             zhat = zhat_a[j]
 
@@ -381,7 +401,8 @@ def _dc_dist_shardfn(d, e, *, laed4_iter, levels, nblocks, D):
             # one representative device per group
             lbuf = jnp.zeros((nb_new, 2 * size), dtv)
             lbuf = lax.dynamic_update_slice(
-                lbuf, jnp.where(gi_new == 0, lam_new, 0.0)[None], (j, Z))
+                lbuf, jnp.where(act & (gi_new == 0), lam_new, 0.0)[None],
+                (j, Z))
             lam_all = lax.psum(lax.psum(lbuf, ROW_AXIS), COL_AXIS)
 
             # ---- local eigenvector update (zero communication) ----------
@@ -465,24 +486,34 @@ def _dc_dist_shardfn(d, e, *, laed4_iter, levels, nblocks, D):
         size *= 2
         nbatch = nb_new
 
-    if lam_loc is not None:     # never entered mode B (D == 1 or tiny)
+    if lam_loc is not None:     # never entered mode B (D2 == 1 or tiny)
         lam_all = lam_loc
         q_fin = q_loc[0]        # transposed (m, m)
     else:
         q_fin = q_loc           # qt_loc (m, rows_loc)
-    # Q^T column shards -> Q column shards: one all-to-all over the flat
-    # device axis plus a LOCAL shard transpose (device g receives
-    # Q^T[g*m/D:(g+1)*m/D, :], whose transpose is exactly Q[:, g-th block])
+    # Row shards (held by the D2 active devices) -> Q column shards over ALL
+    # D devices: one all-to-all over the flat axis splitting the column index
+    # (axis 0 of the transposed storage, zero-padded to cc*D) plus a LOCAL
+    # transpose. Device d receives qt[d*cc:(d+1)*cc, :] from every source —
+    # the first D2*rows_loc = m received columns are Q's rows, the rest are
+    # the inactive devices' zeroed shards — so its transpose is exactly
+    # Q[:, d*cc:(d+1)*cc] (zero columns past m).
     if D > 1:
+        if D2 != D:
+            q_fin = jnp.where(act, q_fin, 0)
+        if cc * D != m:
+            q_fin = jnp.concatenate(
+                [q_fin, jnp.zeros((cc * D - m, q_fin.shape[1]), dtv)], axis=0)
         q_cols = lax.all_to_all(q_fin, AXES, split_axis=0, concat_axis=1,
-                                tiled=True).T
+                                tiled=True)[:, :m].T
     else:
         q_cols = q_fin.T
     return lam_all.reshape(m), q_cols
 
 
-@functools.partial(jax.jit, static_argnames=("laed4_iter", "mesh"))
-def _tridiag_dc_dist_padded(d, e, laed4_iter, mesh):
+@functools.partial(jax.jit, static_argnames=("laed4_iter", "mesh",
+                                             "col_align"))
+def _tridiag_dc_dist_padded(d, e, laed4_iter, mesh, col_align):
     m = d.shape[0]
     nblocks = m // LEAF
     levels = 0
@@ -491,21 +522,29 @@ def _tridiag_dc_dist_padded(d, e, laed4_iter, mesh):
         size *= 2
         levels += 1
     D = mesh.devices.size
+    # per-device column chunk of the final exchange: ceil(m / D) rounded up
+    # to col_align (= the caller's tile size, keeping the downstream
+    # cols->canonical all-to-all on its tile-aligned fast path)
+    cc = m if D == 1 else col_align * (-(-m // (D * col_align)))
     fn = jax.shard_map(
         functools.partial(_dc_dist_shardfn, laed4_iter=laed4_iter,
-                          levels=levels, nblocks=nblocks, D=D),
+                          levels=levels, nblocks=nblocks, D=D, cc=cc),
         mesh=mesh, in_specs=(P(), P()), out_specs=(P(), P(None, AXES)),
         check_vma=False)
     return fn(d, e)
 
 
-def tridiag_eigh_dist(d, e, mesh, laed4_iter: int = 120):
+def tridiag_eigh_dist(d, e, mesh, laed4_iter: int = 120,
+                      col_align: int = 1):
     """Distributed eigendecomposition of the symmetric tridiagonal (d, e).
 
-    Returns (lam (n,) replicated, q (m_pad, m_pad) column-sharded over the
-    flattened mesh, where m_pad is the padded D&C size; q[:n, :n] is the
-    eigenvector matrix and the padding block is decoupled identity).
-    Caller must check :func:`dc_dist_supported` first.
+    Returns (lam (n,) replicated, q column-sharded over the flattened mesh,
+    m) where m is the padded D&C size; q has m rows and >= m columns (extra
+    zero columns only when the device count does not divide m; real columns
+    are always the leading m); q[:n, :n] is the eigenvector matrix and the
+    padding block is decoupled identity. ``col_align`` rounds the per-device
+    column chunk up to a tile size. Caller must check
+    :func:`dc_dist_supported` first.
     """
     from .tridiag_dc import laed4_iter_cap
     d = jnp.asarray(d)
@@ -523,5 +562,6 @@ def tridiag_eigh_dist(d, e, mesh, laed4_iter: int = 120):
     ep = jnp.zeros((m,), dt)
     if n > 1:
         ep = ep.at[: n - 1].set(e)
-    lam, q = _tridiag_dc_dist_padded(dp, ep, laed4_iter, mesh)
+    lam, q = _tridiag_dc_dist_padded(dp, ep, laed4_iter, mesh,
+                                     col_align)
     return lam, q, m

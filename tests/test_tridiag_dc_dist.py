@@ -11,7 +11,8 @@ from dlaf_tpu.comm.mesh import Grid
 from conftest import tol
 
 
-@pytest.mark.parametrize("grid_size", [(2, 4), (2, 2), (1, 2), (1, 1)])
+@pytest.mark.parametrize("grid_size", [(2, 4), (2, 3), (2, 2), (1, 2),
+                                       (1, 1)])
 @pytest.mark.parametrize("n", [64, 100,
                                pytest.param(256, marks=pytest.mark.slow)])
 def test_tridiag_dc_dist(real_dtype_p, grid_size, n):
@@ -33,18 +34,22 @@ def test_tridiag_dc_dist(real_dtype_p, grid_size, n):
 
 def test_dc_dist_supported_gate():
     assert dc_dist_supported(256, 8)
-    assert not dc_dist_supported(256, 6)      # non-power-of-2
+    assert dc_dist_supported(256, 6)          # non-power-of-2: pow2 subset
+    assert dc_dist_supported(256, 12)
     assert dc_dist_supported(31, 1)
+    assert not dc_dist_supported(31, 64)      # more devices than padded size
 
 
-def test_eigh_dist_fallback_non_pow2():
-    """Grids with a non-power-of-2 device count use the gathered fallback
-    and still produce correct results."""
+@pytest.mark.parametrize("grid_size", [(2, 3), (1, 6)])
+def test_eigh_dist_non_pow2(grid_size):
+    """Non-power-of-2 device counts run the device-resident pipeline
+    (merge tree on the pow2 subset, reference 6-rank fixture analog,
+    grids_6_ranks.h:25-70)."""
     from dlaf_tpu.algos.eigensolver.dist_driver import eigh_dist
     from dlaf_tpu.matrix import generators as gen
     from dlaf_tpu.matrix.dist_matrix import DistMatrix
     n, nb = 64, 16
-    grid = Grid((2, 3))
+    grid = Grid(grid_size)
     h = gen.random_hermitian(jax.random.PRNGKey(3), n, jnp.float64)
     dh = DistMatrix.from_global(h, nb, grid)
     w, v = eigh_dist(dh)
@@ -52,6 +57,7 @@ def test_eigh_dist_fallback_non_pow2():
     hn = np.asarray(h)
     bound = tol(np.dtype("float64"), n, 100)
     assert np.max(np.abs(hn @ vg - vg * w[None, :])) <= bound
+    assert np.max(np.abs(vg.T.conj() @ vg - np.eye(n))) <= bound
 
 
 def test_stage2_sweep_chunked_record():
