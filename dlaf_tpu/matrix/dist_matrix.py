@@ -106,36 +106,44 @@ class DistMatrix:
 
         On square grids this is a pure axis swap of the canonical layout
         (shard (p,q) -> (q,p), local shards transposed) — XLA lowers the
-        resharding to a collective permute over ICI. Non-square grids run a
-        jitted global-view relayout (gather_from_shards -> T ->
-        scatter_to_shards under a canonical sharding constraint): GSPMD
-        inserts the redistribution collectives; no host round-trip
-        (reference analog: the transposed-Panel + all-to-all machinery,
+        resharding to a collective permute over ICI. Non-square grids run
+        ONE uniform tile-granular ``lax.all_to_all`` inside shard_map
+        (per-device transient memory O(n^2/D); reference analog: the
+        transposed-Panel + hand-rolled all-to-all machinery,
         ``matrix/panel.h:483``, ``permutations/general/impl.h:230-303``).
         """
         from ..dist import Distribution
 
         P, Q = self.grid.grid_size
         m, n = self.dist.size
-        newdist = Distribution((n, m), self.dist.block_size[::-1],
-                               self.grid.grid_size, self.src_rank_t())
         if P == Q:
+            newdist = Distribution((n, m), self.dist.block_size[::-1],
+                                   self.grid.grid_size, self.src_rank_t())
             data = self.data.transpose(1, 0, 3, 2)
             if conj:
                 data = jnp.conj(data)
             data = jax.device_put(data, self.grid.canonical_sharding())
             return DistMatrix(data, newdist, self.grid)
+        assert self.dist.src_rank == (0, 0) and \
+            self.dist.block_size[0] == self.dist.block_size[1]
         newdist = Distribution((n, m), self.dist.block_size[::-1],
                                self.grid.grid_size)
-        data = _transpose_global(self.data, dist=self.dist, newdist=newdist,
-                                 conj=conj, sharding=self.grid.canonical_sharding())
+        data = _transpose_a2a(self.data, nb=self.dist.block_size[0],
+                              grid_size=self.grid.grid_size,
+                              lmt2=newdist.max_local_nr_tiles[0],
+                              lnt2=newdist.max_local_nr_tiles[1],
+                              conj=conj, mesh=self.grid.mesh)
         return DistMatrix(data, newdist, self.grid)
 
     def symmetrize(self, lower: bool = True) -> "DistMatrix":
-        """Fill the other triangle from the stored one, device-resident
-        (A <- tril(A) + tril(A,-1)^H for ``lower``)."""
-        data = _symmetrize_global(self.data, dist=self.dist, lower=lower,
-                                  sharding=self.grid.canonical_sharding())
+        """Fill the other triangle from the stored one, device-resident:
+        A <- tril(A) + tril(A,-1)^H for ``lower`` (the transpose runs the
+        tile-granular all-to-all / axis-swap path; the triangle merge is a
+        local masked combine per shard)."""
+        t = self.transpose(conj=True)
+        data = _symmetrize_combine(self.data, t.data,
+                                   nb=self.dist.block_size[0], lower=lower,
+                                   mesh=self.grid.mesh)
         return DistMatrix(data, self.dist, self.grid)
 
     def src_rank_t(self):
@@ -151,29 +159,129 @@ class DistMatrix:
         return self.data.shape[-2:]
 
 
-@functools.partial(jax.jit, static_argnames=("dist", "newdist", "conj", "sharding"))
-def _transpose_global(data, *, dist, newdist, conj, sharding):
-    from ..dist import gather_from_shards, scatter_to_shards
-    g = gather_from_shards(data, dist)
-    m, n = dist.size
-    gt = g[:m, :n].conj().T if conj else g[:m, :n].T
-    pm2, pn2 = newdist.padded_size
-    gt = jnp.pad(gt, ((0, pm2 - n), (0, pn2 - m)))
-    return jax.lax.with_sharding_constraint(scatter_to_shards(gt, newdist),
-                                            sharding)
+def _transpose_a2a_shardfn(a4, *, nb, P, Q, lmt2, lnt2, conj):
+    """Tile-granular distributed transpose on a non-square (P, Q) grid.
+
+    A's tile (i, j) lives on rank (i % P, j % Q); A^T's tile (j, i) must land
+    on rank (j % P, i % Q). With g = gcd(P, Q), the tiles a source sends to
+    one destination form ONE residue class mod lcm(P, Q) per dimension (CRT),
+    so the exchange is a single uniform ``lax.all_to_all`` over padded slot
+    buffers — the reference's hand-rolled per-partner all-to-all
+    (``permutations/general/impl.h:230-303``) without the variable-size
+    messages. Per-device transient memory: O(local size * g^2): destinations
+    in an incompatible residue class get zero-filled slots of the same
+    (uniform) size. g == 1 for coprime grids like (2, 3); the worst common
+    case (2, 4) pays 4x on the exchange buffer — still O(n^2/D), never the
+    O(n^2) global view this path replaces.
+    """
+    import math
+
+    from jax import lax
+
+    from ..comm.mesh import COL_AXIS, ROW_AXIS
+    a = a4[0, 0]
+    p = lax.axis_index(ROW_AXIS).astype(jnp.int32)
+    q = lax.axis_index(COL_AXIS).astype(jnp.int32)
+    lm, ln = a.shape
+    lmt, lnt = lm // nb, ln // nb
+    D = P * Q
+    g = math.gcd(P, Q)
+    qg, pg = Q // g, P // g                   # row/col residue periods
+    inv_p = pow(P // g, -1, qg) if qg > 1 else 0   # static modular inverses
+    inv_q = pow(Q // g, -1, pg) if pg > 1 else 0
+    sr = -(-lmt // qg)                        # row-tile slots per destination
+    sc = -(-lnt // pg)                        # col-tile slots per destination
+    tiles = a.reshape(lmt, nb, lnt, nb)
+
+    # ---- send: for each destination (p2, q2), my row tiles t with
+    # t*P + p == q2 (mod Q) are t == t0 (mod Q/g); cols analogously
+    sbs = []
+    for p2 in range(P):
+        for q2 in range(Q):
+            t0 = (((q2 - p) // g) * inv_p) % qg
+            u0 = (((p2 - q) // g) * inv_q) % pg
+            ts = t0 + jnp.arange(sr, dtype=jnp.int32) * qg
+            us = u0 + jnp.arange(sc, dtype=jnp.int32) * pg
+            blk = jnp.take(tiles, jnp.minimum(ts, lmt - 1), axis=0)
+            blk = jnp.take(blk, jnp.minimum(us, lnt - 1), axis=2)
+            valid = (ts < lmt)[:, None, None, None] & \
+                (us < lnt)[None, None, :, None]
+            sbs.append(jnp.where(valid, blk, 0))
+    sb = jnp.stack(sbs).reshape(D, sr * nb, sc * nb)
+
+    rcv = lax.all_to_all(sb, (ROW_AXIS, COL_AXIS), split_axis=0,
+                         concat_axis=0, tiled=True)
+    # (D, sr, nb, sc, nb) -> flat slot-major tile array (D*sr*sc, nb, nb)
+    rtiles = rcv.reshape(D, sr, nb, sc, nb).transpose(0, 1, 3, 2, 4) \
+        .reshape(D * sr * sc, nb, nb)
+
+    # ---- reassemble MY A^T tile (t2, u2) = global (i2, j2): it is A's tile
+    # (j2, i2) from source (j2 % P, i2 % Q), at that source's slot
+    # ((j2//P - t0_s) / qg, (i2//Q - u0_s) / pg) for destination (p, q)
+    t2 = jnp.arange(lmt2, dtype=jnp.int32)
+    u2 = jnp.arange(lnt2, dtype=jnp.int32)
+    i2 = (t2 * P + p)[:, None]                # A^T global row tile
+    j2 = (u2 * Q + q)[None, :]                # A^T global col tile
+    p_s = j2 % P
+    q_s = i2 % Q
+    t_s = j2 // P
+    u_s = i2 // Q
+    t0_s = (((q - p_s) // g) * inv_p) % qg
+    u0_s = (((p - q_s) // g) * inv_q) % pg
+    r = (t_s - t0_s) // qg
+    c = (u_s - u0_s) // pg
+    ok = (t_s < lmt) & (u_s < lnt)
+    idx = (p_s * Q + q_s) * (sr * sc) + r * sc + c
+    got = jnp.take(rtiles, jnp.clip(idx, 0, D * sr * sc - 1).reshape(-1),
+                   axis=0).reshape(lmt2, lnt2, nb, nb)
+    got = jnp.where(ok[:, :, None, None], got, 0)
+    got = jnp.conj(got) if conj else got
+    # transpose each tile and lay out as the (lm2, ln2) local block
+    out = got.transpose(0, 3, 1, 2).reshape(lmt2 * nb, lnt2 * nb)
+    return out[None, None]
 
 
-@functools.partial(jax.jit, static_argnames=("dist", "lower", "sharding"))
-def _symmetrize_global(data, *, dist, lower, sharding):
-    from ..dist import gather_from_shards, scatter_to_shards
-    from ..ops.core import symmetrize_tri
-    g = gather_from_shards(data, dist)
-    m, n = dist.size
-    full = symmetrize_tri(g[:m, :n], lower)
-    pm, pn = dist.padded_size
-    full = jnp.pad(full, ((0, pm - m), (0, pn - n)))
-    return jax.lax.with_sharding_constraint(scatter_to_shards(full, dist),
-                                            sharding)
+@functools.partial(jax.jit, static_argnames=("nb", "grid_size", "lmt2",
+                                             "lnt2", "conj", "mesh"))
+def _transpose_a2a(data, *, nb, grid_size, lmt2, lnt2, conj, mesh):
+    from jax.sharding import PartitionSpec as P
+    from ..comm.mesh import COL_AXIS, ROW_AXIS
+    fn = jax.shard_map(
+        functools.partial(_transpose_a2a_shardfn, nb=nb, P=grid_size[0],
+                          Q=grid_size[1], lmt2=lmt2, lnt2=lnt2, conj=conj),
+        mesh=mesh, in_specs=(P(ROW_AXIS, COL_AXIS, None, None),),
+        out_specs=P(ROW_AXIS, COL_AXIS, None, None))
+    return fn(data)
+
+
+def _symmetrize_shardfn(a4, t4, *, nb, lower):
+    from jax import lax
+
+    from ..comm.mesh import COL_AXIS, ROW_AXIS
+    a, t = a4[0, 0], t4[0, 0]
+    p = lax.axis_index(ROW_AXIS)
+    q = lax.axis_index(COL_AXIS)
+    Pn = lax.axis_size(ROW_AXIS)
+    Qn = lax.axis_size(COL_AXIS)
+    lm, ln = a.shape
+    grow = (jnp.arange(lm // nb) * Pn + p).repeat(nb) * nb + \
+        jnp.tile(jnp.arange(nb), lm // nb)
+    gcol = (jnp.arange(ln // nb) * Qn + q).repeat(nb) * nb + \
+        jnp.tile(jnp.arange(nb), ln // nb)
+    keep = grow[:, None] >= gcol[None, :] if lower else \
+        grow[:, None] <= gcol[None, :]
+    return jnp.where(keep, a, t)[None, None]
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "lower", "mesh"))
+def _symmetrize_combine(data, tdata, *, nb, lower, mesh):
+    from jax.sharding import PartitionSpec as P
+    from ..comm.mesh import COL_AXIS, ROW_AXIS
+    spec = P(ROW_AXIS, COL_AXIS, None, None)
+    fn = jax.shard_map(
+        functools.partial(_symmetrize_shardfn, nb=nb, lower=lower),
+        mesh=mesh, in_specs=(spec, spec), out_specs=spec)
+    return fn(data, tdata)
 
 
 def _diag_shardfn(a4, *, nb, pm):

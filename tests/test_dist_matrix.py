@@ -24,7 +24,8 @@ def test_diagonal(grid_size, dtype):
     np.testing.assert_allclose(np.asarray(d), np.diagonal(np.asarray(a)))
 
 
-@pytest.mark.parametrize("grid_size", [(2, 4), (4, 2), (1, 8)])
+@pytest.mark.parametrize("grid_size", [(2, 4), (4, 2), (1, 8), (2, 3),
+                                       (3, 2)])
 @pytest.mark.parametrize("conj", [True, False])
 def test_transpose_nonsquare_device(grid_size, conj, dtype):
     m, n, nb = 80, 48, 16
