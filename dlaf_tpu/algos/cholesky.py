@@ -36,14 +36,14 @@ from ..comm import collectives as coll, panel
 from ..comm.mesh import COL_AXIS, ROW_AXIS
 from ..matrix.dist_matrix import DistMatrix
 from ..ops import leaf
-from ..ops.core import ct, matmul_precision, mmt
+from ..ops.core import ct, matmul_precision
 from ..ops.householder import tri_inv
 from ..tune import get_tune_parameters
 
 N_WINDOW_BUCKETS = 8
 # column chunks per wide trailing update (staircase herk approximation:
 # computed area = (1/2 + 1/(2*chunks)) of the full rectangle)
-N_TRAIL_CHUNKS = 16
+N_TRAIL_CHUNKS = 24
 
 
 def window_buckets(nrt: int, Pn: int, Qn: int, nwin: int = N_WINDOW_BUCKETS,
@@ -66,9 +66,12 @@ def _tile_step(a, kt, *, nb, offr, offc, row_tile, col_tile,
                pl_lc0, pl_w, pl_end, valid):
     """Factor tile kt, solve its panel, and update ONLY the remaining panel
     columns (the contiguous ``pl_w`` local tiles from local tile ``pl_lc0``).
-    Returns (a, w, wt): the solved below-rows panel (lm, nb) and its
-    transposed extraction (ln, nb), both zeroed when ``valid`` is false —
-    ready for the wide trailing GEMM.
+    Returns (a, w, wtT): the solved below-rows panel (lm, nb) and its
+    TRANSPOSED (+ conjugated) extraction (nb, ln), both zeroed when
+    ``valid`` is false — ready for the wide trailing GEMM. The transposed
+    panel is stored (nb, ln) so every GEMM is a plain NN matmul: NT
+    contractions make XLA's layout assignment flip the whole in-place
+    update chain to column-major, inserting full-matrix relayout copies.
     """
     p = lax.axis_index(ROW_AXIS)
     q = lax.axis_index(COL_AXIS)
@@ -93,7 +96,8 @@ def _tile_step(a, kt, *, nb, offr, offc, row_tile, col_tile,
     #    scheme and scope as the local path, ops/blocked.py potrf_lower) —
     #    a leaf-blocked trsm here shreds the solve into nb/leaf narrow GEMMs.
     slab = lax.dynamic_slice(a, (0, lk_c * nb), (lm, nb))
-    solved = mmt(slab, tri_inv(lkk, lower=True, nb=64))
+    solved = jnp.matmul(slab, ct(tri_inv(lkk, lower=True, nb=64)),
+                        precision=matmul_precision())
     below = valid & (row_tile.repeat(nb) > kt)[:, None]
     newslab = jnp.where(below, solved, slab)
     cur = lax.dynamic_slice(newslab, (lk_r * nb, 0), (nb, nb))
@@ -117,10 +121,11 @@ def _tile_step(a, kt, *, nb, offr, offc, row_tile, col_tile,
     #    entries (padding / non-trailing tiles) rely on the clamp-into-padding
     #    invariant documented in comm/panel.py — the masks below discard them.
     lmt = lm // nb
-    wt = panel.take_tiles(panel.all_tiles(w, ROW_AXIS, nb),
-                          col_tile - offr * Pn).reshape(ln, nb)
-    wt = jnp.where(valid & (col_tile.repeat(nb) > kt)[:, None], wt,
-                   jnp.zeros_like(wt))
+    wtT = panel.take_tiles(panel.all_tiles(w, ROW_AXIS, nb),
+                           col_tile - offr * Pn)
+    wtT = jnp.conj(wtT.transpose(2, 0, 1).reshape(nb, ln))
+    wtT = jnp.where(valid & (col_tile.repeat(nb) > kt)[None, :], wtT,
+                    jnp.zeros_like(wtT))
 
     # 5. panel-restricted trailing update (k = nb, O(n * wt*nb) work): the
     #    wide k = wt*nb update of everything right of the panel happens once
@@ -133,8 +138,8 @@ def _tile_step(a, kt, *, nb, offr, offc, row_tile, col_tile,
     pc0 = pl_lc0 * nb
     z = jnp.zeros((), jnp.int32)
     pslab = lax.dynamic_slice(a, (z, pc0), (lm, pl_w * nb))
-    wt_p = lax.dynamic_slice(wt, (pc0, z), (pl_w * nb, nb))
-    upd = jnp.matmul(w, ct(wt_p), precision=matmul_precision())
+    wt_p = lax.dynamic_slice(wtT, (z, pc0), (nb, pl_w * nb))
+    upd = jnp.matmul(w, wt_p, precision=matmul_precision())
     colt_all = col_tile.repeat(nb)
     colg_all = colt_all * nb + jnp.tile(jnp.arange(nb), lnt_w)
     colg_p = lax.dynamic_slice(colg_all, (pc0,), (pl_w * nb,))
@@ -144,50 +149,53 @@ def _tile_step(a, kt, *, nb, offr, offc, row_tile, col_tile,
         (colt_p < pl_end)[None, :]
     pslab = pslab - jnp.where(mask, upd, 0)
     a = lax.dynamic_update_slice(a, pslab, (z, pc0))
-    return a, w, wt
+    return a, w, wtT
 
 
-def _tile_step_static(a, kt, *, nb, offr, pl_c0, pl_c1, pl_end,
+def _tile_step_static(pan, kt, *, nb, lnt, offr, pl_c0, pl_c1, pl_end,
                       row_tile, col_tile, glob_row, glob_col):
-    """Unrolled-panel tile step: ``kt`` and the window offsets are Python
-    ints, so every slice is static, no validity masking is needed, and the
-    trailing structure is exact (no stale columns). Operates on the FULL
-    local shard ``a`` with absolute local offsets; ``offr``/``pl_c0`` are
-    the panel's exact local row/col window tiles (= kt0 // P, kt0 // Q).
+    """Unrolled-panel tile step on the extracted PANEL BUFFER ``pan`` (the
+    window rows x the panel's local columns [pl_c0, pl_c1)): ``kt`` and the
+    window offsets are Python ints, so every slice is static and the
+    trailing structure is exact. The caller extracts ``pan`` from the local
+    shard once per wide panel and writes it back once — each tile step
+    updating the full shard directly made XLA's layout assignment flip the
+    O(n^2) buffer between row- and column-major across the tail writes
+    (measured 3 full-matrix relayout copies at n = 32768).
 
-    Returns (a, w, wt): the solved below-rows panel for local rows from tile
-    ``offr`` and its transposed extraction for local cols from tile
-    ``pl_c0``, ready for the wide trailing GEMM.
+    Returns (pan, w, wtT): the updated panel buffer, the solved below-rows
+    panel (window rows, nb), and its TRANSPOSED (+ conjugated) extraction
+    (nb, cols-from-pl_c0) ready for the wide trailing GEMM (stored
+    transposed so every GEMM is a plain NN matmul).
     """
     p = lax.axis_index(ROW_AXIS)
     q = lax.axis_index(COL_AXIS)
     Pn = lax.axis_size(ROW_AXIS)
     Qn = lax.axis_size(COL_AXIS)
-    lm, ln = a.shape
-    lmt, lnt = lm // nb, ln // nb
     owner_p, owner_q = kt % Pn, kt % Qn
     lk_r, lk_c = kt // Pn, kt // Qn
     r0 = offr * nb
+    jc = (lk_c - pl_c0) * nb           # panel-local column offset
+    c0, c1 = (lk_r - offr) * nb, (lk_r - offr + 1) * nb
 
     # 1. factor + 2-D broadcast of the diagonal tile (non-owners factor
     #    junk that the masked psum discards)
-    tile = a[lk_r * nb:(lk_r + 1) * nb, lk_c * nb:(lk_c + 1) * nb]
+    tile = pan[c0:c1, jc:jc + nb]
     lkk = leaf.potrf_leaf(tile)
     lkk = coll.bcast2d(lkk, (owner_p, owner_q), (ROW_AXIS, COL_AXIS))
 
     # 2. panel solve on the owning grid column (window rows only): one
     #    tile-scope inverse + ONE wide MXU GEMM (local-path inverted-diagonal
     #    scheme, ops/blocked.py potrf_lower)
-    slab = a[r0:, lk_c * nb:(lk_c + 1) * nb]
-    solved = mmt(slab, tri_inv(lkk, lower=True, nb=64))
+    slab = pan[:, jc:jc + nb]
+    solved = jnp.matmul(slab, ct(tri_inv(lkk, lower=True, nb=64)),
+                        precision=matmul_precision())
     below = (row_tile[offr:].repeat(nb) > kt)[:, None]
     newslab = jnp.where(below, solved, slab)
-    c0, c1 = (lk_r - offr) * nb, (lk_r - offr + 1) * nb
     cur = newslab[c0:c1]
     merged = jnp.where(jnp.tril(jnp.ones((nb, nb), jnp.bool_)), lkk, cur)
     newslab = newslab.at[c0:c1].set(jnp.where(p == owner_p, merged, cur))
-    a = a.at[r0:, lk_c * nb:(lk_c + 1) * nb].set(
-        jnp.where(q == owner_q, newslab, slab))
+    pan = pan.at[:, jc:jc + nb].set(jnp.where(q == owner_q, newslab, slab))
 
     # 3. row-axis broadcast of the solved panel
     wl = jnp.where(below, newslab, jnp.zeros_like(newslab))
@@ -197,11 +205,11 @@ def _tile_step_static(a, kt, *, nb, offr, pl_c0, pl_c1, pl_end,
     # 4. transposed panel for local cols >= the panel start (clamp-into-
     #    padding invariant: junk rows are masked by col_tile > kt; padding
     #    col tiles update only padding columns)
-    wt = panel.take_tiles(panel.all_tiles(w, ROW_AXIS, nb),
-                          col_tile[pl_c0:] - offr * Pn)
-    wt = wt.reshape((lnt - pl_c0) * nb, nb)
-    wt = jnp.where((col_tile[pl_c0:].repeat(nb) > kt)[:, None], wt,
-                   jnp.zeros_like(wt))
+    wtT = panel.take_tiles(panel.all_tiles(w, ROW_AXIS, nb),
+                           col_tile[pl_c0:] - offr * Pn)
+    wtT = jnp.conj(wtT.transpose(2, 0, 1).reshape(nb, (lnt - pl_c0) * nb))
+    wtT = jnp.where((col_tile[pl_c0:].repeat(nb) > kt)[None, :], wtT,
+                    jnp.zeros_like(wtT))
 
     # 5. panel-restricted rank-nb trailing update, on the statically
     #    remaining panel cols only: min over ranks q of the first local tile
@@ -210,14 +218,13 @@ def _tile_step_static(a, kt, *, nb, offr, pl_c0, pl_c1, pl_end,
     if pu_c0 < pl_c1:
         o = (pu_c0 - pl_c0) * nb
         pw = (pl_c1 - pl_c0) * nb
-        upd = mmt(w, wt[o:pw])
+        upd = jnp.matmul(w, wtT[:, o:pw], precision=matmul_precision())
         mask = (glob_row[r0:, None] >=
                 glob_col[None, pu_c0 * nb:pl_c1 * nb]) & \
             (col_tile[pu_c0:pl_c1].repeat(nb) < pl_end)[None, :]
-        pslab = a[r0:, pu_c0 * nb:pl_c1 * nb]
-        a = a.at[r0:, pu_c0 * nb:pl_c1 * nb].set(
-            pslab - jnp.where(mask, upd, 0))
-    return a, w, wt
+        po = (pu_c0 - pl_c0) * nb
+        pan = pan.at[:, po:].set(pan[:, po:] - jnp.where(mask, upd, 0))
+    return pan, w, wtT
 
 
 def _dist_potrf_unrolled_shardfn(a4, *, nb, nrt, wt_tiles):
@@ -245,17 +252,22 @@ def _dist_potrf_unrolled_shardfn(a4, *, nb, nrt, wt_tiles):
         offr = kt0 // Pn
         pl_c0 = kt0 // Qn
         pl_c1 = min(pl_c0 + wt_tiles // Qn, lnt)
+        r0 = offr * nb
+        # factor the whole wide panel on an extracted buffer; ONE shard
+        # write-back per panel (see _tile_step_static docstring)
+        pan = a[r0:, pl_c0 * nb:pl_c1 * nb]
         ws, wts = [], []
         for j in range(wt_tiles):
             kt = kt0 + j
             if kt >= nrt:
                 break
-            a, w, wtj = _tile_step_static(
-                a, kt, nb=nb, offr=offr, pl_c0=pl_c0,
+            pan, w, wtj = _tile_step_static(
+                pan, kt, nb=nb, lnt=lnt, offr=offr, pl_c0=pl_c0,
                 pl_c1=pl_c1, pl_end=kt0 + wt_tiles, row_tile=row_tile,
                 col_tile=col_tile, glob_row=glob_row, glob_col=glob_col)
             ws.append(w)
             wts.append(wtj)
+        a = a.at[r0:, pl_c0 * nb:pl_c1 * nb].set(pan)
         if pl_c1 >= lnt:
             continue
 
@@ -265,7 +277,7 @@ def _dist_potrf_unrolled_shardfn(a4, *, nb, nrt, wt_tiles):
         # factorization/cholesky/impl.h:273-300). Computed area =
         # (1/2 + 1/(2*chunks)) of the full rectangle.
         wide = jnp.concatenate(ws, axis=1)
-        wide_t = jnp.concatenate(wts, axis=1)[(pl_c1 - pl_c0) * nb:]
+        wide_t = jnp.concatenate(wts, axis=0)[:, (pl_c1 - pl_c0) * nb:]
         lnt_tr = lnt - pl_c1
         nch = min(N_TRAIL_CHUNKS, lnt_tr)
         cw = -(-lnt_tr // nch)
@@ -273,12 +285,17 @@ def _dist_potrf_unrolled_shardfn(a4, *, nb, nrt, wt_tiles):
             c1 = min(lnt, c0 + cw)
             gmin = c0 * Qn   # min global col tile of the chunk over ranks
             t0 = min(max(offr, -(-(gmin - Pn + 1) // Pn)), lmt - 1)
-            u = mmt(wide[(t0 - offr) * nb:],
-                    wide_t[(c0 - pl_c1) * nb:(c1 - pl_c1) * nb])
+            u = jnp.matmul(wide[(t0 - offr) * nb:],
+                           wide_t[:, (c0 - pl_c1) * nb:(c1 - pl_c1) * nb],
+                           precision=matmul_precision())
             tril = glob_row[t0 * nb:, None] >= glob_col[None,
                                                         c0 * nb:c1 * nb]
-            a = a.at[t0 * nb:, c0 * nb:c1 * nb].add(
-                -jnp.where(tril, u, jnp.zeros_like(u)))
+            # slice + subtract + .set (NOT .at[].add): scatter-add lowers to
+            # an XLA scatter whose layout assignment inserts full-matrix
+            # relayout copies (measured 3 x 12.7 ms at n = 32768)
+            ach = a[t0 * nb:, c0 * nb:c1 * nb]
+            a = a.at[t0 * nb:, c0 * nb:c1 * nb].set(
+                ach - jnp.where(tril, u, jnp.zeros_like(u)))
     return a[None, None]
 
 
@@ -329,9 +346,9 @@ def _dist_potrf_shardfn(a4, *, nb, nrt, wt_tiles):
         # starting its rows at the chunk's conservative diagonal tile, with
         # chunks entirely left of the trailing region skipped at runtime.
         wide = jnp.concatenate(ws, axis=1)               # (lm, wt*nb)
-        wide_t = jnp.concatenate(wts, axis=1)            # (ln, wt*nb)
+        wide_t = jnp.concatenate(wts, axis=0)            # (wt*nb, ln)
         # zero the panel's own columns so only tiles >= kt0+wt update
-        right = (col_tile_w.repeat(nb) >= kt0 + wt_tiles)[:, None]
+        right = (col_tile_w.repeat(nb) >= kt0 + wt_tiles)[None, :]
         wide_t = jnp.where(right, wide_t, 0)
         lmt_w = lm_w // nb
         nch = min(N_TRAIL_CHUNKS, lnt_w)
@@ -347,7 +364,7 @@ def _dist_potrf_shardfn(a4, *, nb, nrt, wt_tiles):
             r0 = t0 * nb
 
             def upd_chunk(ac, c0t=c0t, c1t=c1t, r0=r0):
-                u = jnp.matmul(wide[r0:], ct(wide_t[c0t * nb:c1t * nb]),
+                u = jnp.matmul(wide[r0:], wide_t[:, c0t * nb:c1t * nb],
                                precision=matmul_precision())
                 tril = glob_row_w[r0:, None] >= \
                     glob_col_w[None, c0t * nb:c1t * nb]
@@ -392,6 +409,40 @@ _dist_potrf_donate = functools.partial(jax.jit, static_argnames=(
     "nb", "nrt", "wt_tiles", "mesh", "unroll"),
     donate_argnums=(0,))(_dist_potrf_impl)
 
+# The factorization body computes in column-major (the bf16_3x dots prefer
+# it), so row-major canonical inputs/outputs pay one full-shard relayout
+# copy each way. Preferred-layout variant: when the INPUT already carries
+# the column-major shard layout, compile with matching in/out formats and
+# both boundary copies vanish (the result then also carries this layout;
+# any later jit adapts at its own boundary, which it would have anyway).
+_CM_MAJOR_TO_MINOR = (0, 1, 3, 2)
+
+
+def preferred_format(grid):
+    """The I/O Format under which distributed Cholesky runs copy-free."""
+    from jax.experimental.layout import Format, Layout
+    return Format(Layout(_CM_MAJOR_TO_MINOR), grid.canonical_sharding())
+
+
+@functools.lru_cache(maxsize=None)
+def _dist_potrf_cm(nb, nrt, wt_tiles, unroll, grid):
+    fmt = preferred_format(grid)
+
+    def wrap(data):
+        return _dist_potrf_impl(data, nb=nb, nrt=nrt, wt_tiles=wt_tiles,
+                                mesh=grid.mesh, unroll=unroll)
+
+    return jax.jit(wrap, donate_argnums=(0,), in_shardings=(fmt,),
+                   out_shardings=fmt)
+
+
+def _input_is_cm(data) -> bool:
+    fmt = getattr(data, "format", None)
+    lay = getattr(fmt, "layout", None)
+    return lay is not None and \
+        tuple(lay.major_to_minor) == _CM_MAJOR_TO_MINOR
+
+
 # unroll the panel loop up to this many wide panels (beyond it, compile time
 # grows linearly and the bucketed fori_loop path takes over)
 UNROLL_MAX_PANELS = 32
@@ -417,10 +468,13 @@ def cholesky(a: DistMatrix, donate: bool = False) -> DistMatrix:
     wt_tiles = Qn * max(1, -(-tune.potrf_dist_panel_width // (nb * Qn)))
     wt_tiles = min(wt_tiles, max(Qn, (nrt // Qn) * Qn or Qn))
     npanels = -(-nrt // wt_tiles)
-    jitfn = _dist_potrf_donate if donate else _dist_potrf
-    out = jitfn(a.data, nb=nb, nrt=nrt,
-                wt_tiles=wt_tiles, mesh=a.grid.mesh,
-                unroll=npanels <= UNROLL_MAX_PANELS)
+    unroll = npanels <= UNROLL_MAX_PANELS
+    if donate and _input_is_cm(a.data):
+        out = _dist_potrf_cm(nb, nrt, wt_tiles, unroll, a.grid)(a.data)
+    else:
+        jitfn = _dist_potrf_donate if donate else _dist_potrf
+        out = jitfn(a.data, nb=nb, nrt=nrt, wt_tiles=wt_tiles,
+                    mesh=a.grid.mesh, unroll=unroll)
     return DistMatrix(out, a.dist, a.grid)
 
 

@@ -46,20 +46,20 @@ def _timeit(fn, x, ovh, reps=3):
     return max(min(ts) - ovh, 1e-9)
 
 
-def _timeit_donating(fn, x, ovh, reps=3):
-    """Time a buffer-donating fn: re-copy the input outside the timed
-    region each rep (first rep = compile + warmup, discarded)."""
+def _timeit_donating(fn, mk, ovh, reps=3):
+    """Time a buffer-donating fn: REGENERATE the input on device outside the
+    timed region each rep (first rep = compile + warmup, discarded) — no
+    persistent input copy, so peak HBM is one n^2 buffer plus temps."""
     ts = []
-    y = None
     for i in range(reps + 1):
-        del y
-        xc = jnp.copy(x)
-        xc.block_until_ready()
+        xc = mk()
+        _sync(xc)
         t0 = time.perf_counter()
         y = fn(xc)
         _sync(y)
         if i:
             ts.append(time.perf_counter() - t0)
+        del y, xc
     return max(min(ts) - ovh, 1e-9)
 
 
@@ -94,19 +94,22 @@ def main():
 
     # POTRF
     n, nb = args.n, args.nb
-    a = gen.random_hermitian_positive_definite(jax.random.PRNGKey(0), n,
-                                               jnp.float32)
-    t_loc = _timeit(jax.jit(lambda x: dt.potrf(x, uplo="U", nb=nb,
-                                               clean=False)), a, ovh)
+    mk = jax.jit(lambda: gen.random_hermitian_positive_definite(
+        jax.random.PRNGKey(0), n, jnp.float32))
+    t_loc = _timeit_donating(
+        jax.jit(lambda x: dt.potrf(x, uplo="U", nb=nb, clean=False),
+                donate_argnums=0), mk, ovh)
     # 1x1 grid, n % nb == 0: canonical layout is a[None, None] (no padded
     # global copy -- from_global would double HBM at n=32768)
     from dlaf_tpu.dist import Distribution
     dist = Distribution((n, n), (nb, nb), grid.grid_size)
-    da = DistMatrix(a[None, None], dist, grid)
-    da.data.block_until_ready()
-    del a  # free the global copy before the distributed solve
+    # generate the input directly in the factorization's preferred shard
+    # layout (outside the timed region): cholesky then runs copy-free I/O
+    mk4 = jax.jit(lambda: gen.random_hermitian_positive_definite(
+        jax.random.PRNGKey(0), n, jnp.float32)[None, None],
+        out_shardings=chol.preferred_format(grid))
     t_dist = _timeit_donating(lambda d: chol.cholesky(
-        DistMatrix(d, da.dist, da.grid), donate=True).data, da.data, ovh)
+        DistMatrix(d, dist, grid), donate=True).data, mk4, ovh)
     out["potrf_n"] = n
     out["potrf_local_s"] = round(t_loc, 3)
     out["potrf_dist_1x1_s"] = round(t_dist, 3)

@@ -1,0 +1,117 @@
+"""Weak/strong-scaling efficiency artifact on the virtual CPU device mesh.
+
+The BASELINE contract asks for >= 75% weak-scaling efficiency 4 -> 64 chips
+(reference harness: ``scripts/gen_dlaf_weak-gpu.py:25-41``). Real multi-chip
+hardware is not reachable from this box (one tunneled TPU chip), so this
+script runs the SAME sweep contract on the XLA virtual CPU mesh — it
+exercises every distributed code path, the collective schedule, and the
+n ∝ sqrt(D) weak-scaling size law end-to-end, and records per-mesh wall
+times and parallel efficiencies. The numbers characterize the SPMD program
+structure under emulation, NOT ICI hardware throughput — the artifact says
+so in its own metadata.
+
+All virtual devices timeshare ONE physical core here, so the classic
+t(D0)/t(D) weak efficiency is meaningless (total work grows with D on
+fixed silicon). The reported number is instead *work-normalized throughput
+retention*: eff(D) = [flops(D)/t(D)] / [flops(1)/t(1)] — how much of the
+1-device total throughput the increasingly-distributed SPMD program
+retains. A program whose distribution machinery (collectives, masks,
+padding) adds no overhead scores 1.0 at every D.
+
+Usage:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python scripts/bench_scaling.py [--base-n 2048] [--nb 256]
+
+Writes WEAK_SCALING.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+# must be set BEFORE the backend initializes (any jax.devices() call);
+# ineffective afterwards
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import jax.numpy as jnp
+
+import dlaf_tpu as dt
+from dlaf_tpu.algos.cholesky import cholesky
+from dlaf_tpu.comm.mesh import Grid
+from dlaf_tpu.matrix import generators as gen
+from dlaf_tpu.matrix.dist_matrix import DistMatrix
+
+MESHES = [(1, 1), (1, 2), (2, 2), (2, 4)]
+
+
+def _time(fn, reps=3):
+    fn().data.block_until_ready()           # compile + warmup
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn().data.block_until_ready()
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base-n", type=int, default=2048)
+    ap.add_argument("--nb", type=int, default=256)
+    ap.add_argument("--mode", choices=["weak", "strong"], default="weak")
+    args = ap.parse_args()
+    nb = args.nb
+
+    points = []
+    for (pr, pc) in MESHES:
+        d = pr * pc
+        if args.mode == "weak":
+            n = args.base_n * math.sqrt(d)
+            n = int(-(-n // nb)) * nb
+        else:
+            n = args.base_n
+        grid = Grid((pr, pc), devices=jax.devices()[:d])
+        a = gen.random_hermitian_positive_definite(
+            jax.random.PRNGKey(0), n, jnp.float32)
+        dm = DistMatrix.from_global(a, nb, grid)
+        t = _time(lambda: cholesky(dm))
+        flops = n**3 / 3
+        points.append({"grid": [pr, pc], "devices": d, "n": n,
+                       "seconds": round(t, 4),
+                       "gflops": round(flops / t / 1e9, 2)})
+        print(json.dumps(points[-1]), flush=True)
+
+    base_thru = points[0]["gflops"]
+    for p in points:
+        p["throughput_retention_vs_1dev"] = round(p["gflops"] / base_thru, 4)
+
+    out = {
+        "mode": args.mode,
+        "algorithm": "potrf_f32",
+        "nb": nb,
+        "environment": "virtual CPU device mesh (XLA host platform) — "
+                       "exercises the SPMD/collective program structure, "
+                       "NOT ICI hardware throughput",
+        "points": points,
+    }
+    with open("/root/repo/WEAK_SCALING.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
+
+
