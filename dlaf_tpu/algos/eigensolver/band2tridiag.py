@@ -215,11 +215,12 @@ def band_to_tridiag_pipelined(band_dense, b: int, lane_chunk: int = 0):
 def band_to_tridiag_auto(band_dense, b: int):
     """Kernel selection per tune.band_to_tridiag_kernel (see tune.py).
 
-    "auto" picks the Pallas wavefront strip kernel on TPU for f32 (O(n*b)
-    memory, manual DMA windows — no gathers for the backend to fault on,
-    reference 1-D band re-distribution analog), the batched dense pipelined
-    kernel on CPU (fast for the test sizes), and the sequential strip kernel
-    otherwise (f64 emulation / complex, which Mosaic does not support).
+    "auto" picks the Pallas wavefront strip kernel on TPU for f32 and c64
+    (O(n*b) memory, manual DMA windows — no gathers for the backend to fault
+    on, reference 1-D band re-distribution analog; c64 runs the two-plane
+    (re, im) layout), the batched dense pipelined kernel on CPU (fast for
+    the test sizes), and the sequential strip kernel otherwise (emulated
+    f64, which Mosaic does not support).
     """
     from ...tune import get_tune_parameters
     kind = get_tune_parameters().band_to_tridiag_kernel
@@ -233,13 +234,13 @@ def band_to_tridiag_auto(band_dense, b: int):
             return band_to_tridiag(band_dense, b)
         from .band_strips import band_to_strips, band_to_tridiag_strips
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        f32 = band_dense.dtype == jnp.float32
-        if kind == "pallas" and not (on_tpu and f32 and b >= 8):
+        ok_dt = band_dense.dtype in (jnp.float32, jnp.complex64)
+        if kind == "pallas" and not (on_tpu and ok_dt and b >= 8):
             raise ValueError(
-                "band_to_tridiag_kernel='pallas' needs a TPU backend, f32 "
+                "band_to_tridiag_kernel='pallas' needs a TPU backend, f32/c64 "
                 f"band data and b >= 8 (got backend={jax.default_backend()!r},"
                 f" dtype={band_dense.dtype}, b={b}); use 'auto' or 'strips'")
-        if kind == "strips" or (on_tpu and not (f32 and b >= 8)):
+        if kind == "strips" or (on_tpu and not (ok_dt and b >= 8)):
             strips = band_to_strips(band_dense, b)
             return band_to_tridiag_strips(strips, n, b)
         if kind == "pallas" or on_tpu:

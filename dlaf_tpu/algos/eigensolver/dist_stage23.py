@@ -186,7 +186,8 @@ def band_to_tridiag_dist(strips, n_eff: int, b: int, mesh):
     nsweeps = max(n_eff - 2, 1)
     chunk = -(-nsweeps // D)
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    use_pallas = on_tpu and strips.dtype == jnp.float32 and b >= 8
+    use_pallas = on_tpu and b >= 8 and \
+        strips.dtype in (jnp.float32, jnp.complex64)
     return _stage2_dist(strips, n_eff=n_eff, b=b, chunk=chunk,
                         use_pallas=use_pallas, mesh=mesh)
 

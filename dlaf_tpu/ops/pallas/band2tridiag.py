@@ -22,8 +22,16 @@ a lane re-reading its own strips one step later (distance ``nlanes``
 iterations). Reads are prefetched DEPTH ahead and writes drained NW_W slots
 behind, with NW_W + DEPTH <= nlanes guaranteeing the hazard ordering.
 
-f32 only (Mosaic has no complex / emulated-f64 support); other dtypes use
-the JAX strip kernel (``band_strips.band_to_tridiag_strips``).
+Dtypes: f32 natively; c64 as a TWO-PLANE (re, im) f32 layout — Mosaic has
+no complex type, so the strips/reflector-record buffers carry a leading
+plane axis and the chase math is explicit (re, im) arithmetic mirroring
+``band_strips.chase_math`` (reference dispatches {s,c} on GPU the same
+way through its CUDA kernels, ``miniapp/include/dlaf/miniapp/dispatch.h``).
+Emulated f64 stays on the JAX strip kernel.
+
+Slot counts (read-prefetch depth / draining write slots) are fitted to the
+~16 MB/core VMEM budget — the (nw_r, P, 3, b, win) window buffer dominates,
+and at b = 256 the round-2 fixed counts (3/6) alone exceeded VMEM.
 """
 from __future__ import annotations
 
@@ -39,6 +47,9 @@ from ...algos.eigensolver.band_strips import STRIP_W, n_strips
 
 LAG = 4
 ALIGN = 128
+# VMEM budget for the window read buffer (leave headroom of the ~16 MB/core
+# for the write/hh scratch and the window temporaries)
+RBUF_BYTES = 10 * 2**20
 
 
 def _params(i, *, nlanes, n, b, nsweeps, ncmax, dead_s0):
@@ -62,14 +73,30 @@ def _win_lanes(b: int) -> int:
     return (-(-2 * b // ALIGN) + 1) * ALIGN
 
 
+def _slot_counts(b: int, planes: int, nlanes: int):
+    """(depth, nw_w) read-prefetch/write-drain slots under the VMEM budget.
+
+    depth 3 + 6 write slots measured ~20% faster than 2/4 at n=8192 b=128
+    f32 (DMA latency hiding); larger b / the two-plane complex layout scale
+    the per-slot window buffer, so the counts shrink to fit. The hazard
+    bound NW_W + DEPTH <= nlanes is enforced last.
+    """
+    slot_bytes = planes * 3 * b * _win_lanes(b) * 4
+    nslots = max(3, min(9, RBUF_BYTES // slot_bytes))
+    depth = min(3, nslots - 1)
+    nw_w = max(1, min(nslots - depth, nlanes - depth))
+    return depth, nw_w
+
+
 def _make_kernel(*, n, b, nsweeps, ncmax, nlanes, tsteps, ns_total, depth,
-                 nw_w, nrec):
+                 nw_w, nrec, planes):
     total = tsteps * nlanes
     dead_s0 = ns_total - 3
     win = _win_lanes(b)
     par = functools.partial(_params, nlanes=nlanes, n=n, b=b,
                             nsweeps=nsweeps, ncmax=ncmax, dead_s0=dead_s0)
     serial = nlanes < depth + nw_w  # tiny problems: no pipelining
+    P = planes
 
     def offs(i0, g):
         """(strip row, aligned lane start, residual shift) for strip g."""
@@ -81,7 +108,8 @@ def _make_kernel(*, n, b, nsweeps, ncmax, nlanes, tsteps, ns_total, depth,
 
     def kernel(strips_in, hh_in, lo_ref, strips_ref, hh_ref, rbuf, hh_s_ref,
                rsem, wsem, hsem):
-        # strips_in/hh_in are the aliased input views of strips_ref/hh_ref
+        # strips_in/hh_in are the aliased input views of strips_ref/hh_ref;
+        # buffers are (P, ...) plane-major (P=1 real, P=2 complex re/im)
         del strips_in, hh_in
         nw_r = rbuf.shape[0]
 
@@ -93,31 +121,34 @@ def _make_kernel(*, n, b, nsweeps, ncmax, nlanes, tsteps, ns_total, depth,
         def read_dmas(i, slot):
             i0, _, _, _ = par(i)
             cps = []
-            for g in range(3):
-                s0, _, a0, _ = offs(i0, g)
-                cps.append(pltpu.make_async_copy(
-                    strips_ref.at[s0 + g, :, pl.ds(a0, win)],
-                    rbuf.at[slot, g], rsem.at[slot, g]))
+            for p in range(P):
+                for g in range(3):
+                    s0, _, a0, _ = offs(i0, g)
+                    cps.append(pltpu.make_async_copy(
+                        strips_ref.at[p, s0 + g, :, pl.ds(a0, win)],
+                        rbuf.at[slot, p, g], rsem.at[slot, p, g]))
             return cps
 
         def write_dmas(i, slot):
             i0, s_idx, c_idx, _ = par(i)
             cps = []
-            for g in range(3):
-                s0, _, a0, _ = offs(i0, g)
-                cps.append(pltpu.make_async_copy(
-                    rbuf.at[slot % nw_r, g],
-                    strips_ref.at[s0 + g, :, pl.ds(a0, win)],
-                    wsem.at[slot % nw_w, g]))
-            # hh record stored as (nrec+1, ncmax*bpt, 128): 128-wide lane
+            for p in range(P):
+                for g in range(3):
+                    s0, _, a0, _ = offs(i0, g)
+                    cps.append(pltpu.make_async_copy(
+                        rbuf.at[slot % nw_r, p, g],
+                        strips_ref.at[p, s0 + g, :, pl.ds(a0, win)],
+                        wsem.at[slot % nw_w, p, g]))
+            # hh record stored as (P, nrec+1, ncmax*bpt, 128): 128-wide lane
             # tiles so the sublane-dim size-1 dynamic slice stays legal for
             # b > 128 (Mosaic rejects it when the minor dim spans >1 lane
             # tile); bpt = bp // 128 consecutive rows per (sweep, chase)
-            bpt = hh_s_ref.shape[1]
-            cps.append(pltpu.make_async_copy(
-                hh_s_ref.at[slot % nw_w],
-                hh_ref.at[rec_row(s_idx), pl.ds(c_idx * bpt, bpt), :],
-                hsem.at[slot % nw_w]))
+            bpt = hh_s_ref.shape[2]
+            for p in range(P):
+                cps.append(pltpu.make_async_copy(
+                    hh_s_ref.at[slot % nw_w, p],
+                    hh_ref.at[p, rec_row(s_idx), pl.ds(c_idx * bpt, bpt), :],
+                    hsem.at[slot % nw_w, p]))
             return cps
 
         def start(cps):
@@ -135,25 +166,58 @@ def _make_kernel(*, n, b, nsweeps, ncmax, nlanes, tsteps, ns_total, depth,
         rows_3b = lax.broadcasted_iota(jnp.int32, (3 * b, 2 * b), 0)
         lanes_w = lax.broadcasted_iota(jnp.int32, (b, win), 1)
 
-        def chase(i, rslot, wslot):
+        def extract(rslot, i0, im):
+            """Unaligned (2b, 2b) windows + raw 3-strip slabs, per plane."""
+            gs, slabs = [], []
+            for p in range(P):
+                cols = []
+                for g in range(3):
+                    _, _, _, r = offs(i0, g)
+                    cols.append(pltpu.roll(rbuf[rslot, p, g], win - r,
+                                           axis=1)[:, :2 * b])
+                slab3 = jnp.concatenate(cols, axis=0)         # (3b, 2b)
+                slabs.append(slab3)
+                gs.append(pltpu.roll(slab3, 3 * b - im, axis=0)[:2 * b])
+            return gs, slabs
+
+        def merge_back(rslot, i0, im, news, slabs):
+            """Roll the per-plane updated windows back into the read slots."""
+            for p in range(P):
+                g_back = pltpu.roll(news[p], im, axis=0)
+                win_rows = (rows_3b >= im) & (rows_3b < im + 2 * b)
+                slab3n = jnp.where(win_rows, g_back, slabs[p])
+                for g in range(3):
+                    _, _, _, r = offs(i0, g)
+                    blk = slab3n[g * b:(g + 1) * b]            # (b, 2b)
+                    blk_w = jnp.concatenate(
+                        [blk, jnp.zeros((b, win - 2 * b), blk.dtype)], axis=1)
+                    blk_w = pltpu.roll(blk_w, r, axis=1)
+                    keep = (lanes_w >= r) & (lanes_w < r + 2 * b)
+                    rbuf[rslot, p, g] = jnp.where(keep, blk_w,
+                                                  rbuf[rslot, p, g])
+
+        def record_hh(wslot, hh_rows):
+            bpt = hh_s_ref.shape[2]
+            bp = bpt * 128
+            for p in range(P):
+                row = hh_rows[p]                               # (1, b)
+                if bp > b:
+                    row = jnp.concatenate(
+                        [row, jnp.zeros((1, bp - b), row.dtype)], axis=1)
+                hh_s_ref[wslot % nw_w, p] = row.reshape(bpt, 128)
+
+        # all contractions below are VPU reductions in f32: TPU dot_general
+        # on f32 defaults to one bf16 pass, which is far too coarse for a
+        # sequential chase chain (every rounding feeds the next reflector)
+        def chase_real(i, rslot, wslot):
             i0, _, _, first = par(i)
             _, im, _, _ = offs(i0, 0)
-
-            # ---- unaligned window extraction: rolls + static slices ------
-            cols = []
-            for g in range(3):
-                _, _, _, r = offs(i0, g)
-                cols.append(pltpu.roll(rbuf[rslot, g], win - r, axis=1)[:, :2 * b])
-            slab3 = jnp.concatenate(cols, axis=0)         # (3b, 2b)
-            g_ = pltpu.roll(slab3, 3 * b - im, axis=0)[:2 * b]
+            (g_,), slabs = extract(rslot, i0, im)
 
             cy = g_[:b, :b]
             s_ = g_[:b, b:]
             b_ = g_[b:, b:]
 
-            # all contractions below are VPU reductions in f32: TPU dot_general
-            # on f32 defaults to one bf16 pass, which is far too coarse for a
-            # sequential chase chain (every rounding feeds the next reflector)
             ycol = jnp.where(first, b - 1, 0)
             y = jnp.sum(jnp.where(cols_b == ycol, cy, 0.0), axis=1,
                         keepdims=True)                    # column ycol (b, 1)
@@ -186,29 +250,104 @@ def _make_kernel(*, n, b, nsweeps, ncmax, nlanes, tsteps, ns_total, depth,
             bv = jnp.sum(b_ * v[:, 0][None, :], axis=1, keepdims=True)
             b2 = b_ - tau * bv * v[:, 0][None, :]
 
-            # ---- merge the window back & stage the write buffers ---------
             g_new = jnp.concatenate([
                 jnp.concatenate([cy2, s2], axis=1),
                 jnp.concatenate([g_[b:, :b], b2], axis=1),
                 jnp.zeros((b, 2 * b), g_.dtype)], axis=0)  # (3b, 2b)
-            g_back = pltpu.roll(g_new, im, axis=0)
-            win_rows = (rows_3b >= im) & (rows_3b < im + 2 * b)
-            slab3n = jnp.where(win_rows, g_back, slab3)
-            for g in range(3):
-                _, _, _, r = offs(i0, g)
-                blk = slab3n[g * b:(g + 1) * b]            # (b, 2b)
-                blk_w = jnp.concatenate(
-                    [blk, jnp.zeros((b, win - 2 * b), blk.dtype)], axis=1)
-                blk_w = pltpu.roll(blk_w, r, axis=1)
-                keep = (lanes_w >= r) & (lanes_w < r + 2 * b)
-                rbuf[rslot, g] = jnp.where(keep, blk_w, rbuf[rslot, g])
-            bpt = hh_s_ref.shape[1]
-            bp = bpt * 128
-            hh_row = jnp.where(idx_b1 == 0, tau, v).T      # (1, b)
-            if bp > b:
-                hh_row = jnp.concatenate(
-                    [hh_row, jnp.zeros((1, bp - b), hh_row.dtype)], axis=1)
-            hh_s_ref[wslot % nw_w] = hh_row.reshape(bpt, 128)
+            merge_back(rslot, i0, im, [g_new], slabs)
+            record_hh(wslot, [jnp.where(idx_b1 == 0, tau, v).T])
+
+        def chase_complex(i, rslot, wslot):
+            """(re, im)-plane chase mirroring band_strips.chase_math for
+            complex dtypes (H = I - tau v v^H, A <- H A H^H)."""
+            i0, _, _, first = par(i)
+            _, im, _, _ = offs(i0, 0)
+            gs, slabs = extract(rslot, i0, im)
+            gr, gi = gs
+
+            def cmul(a, c):
+                return (a[0] * c[0] - a[1] * c[1],
+                        a[0] * c[1] + a[1] * c[0])
+
+            def csub(a, c):
+                return (a[0] - c[0], a[1] - c[1])
+
+            cy = (gr[:b, :b], gi[:b, :b])
+            s_ = (gr[:b, b:], gi[:b, b:])
+            b_ = (gr[b:, b:], gi[b:, b:])
+
+            ycol = jnp.where(first, b - 1, 0)
+            y = tuple(jnp.sum(jnp.where(cols_b == ycol, c, 0.0), axis=1,
+                              keepdims=True) for c in cy)          # (b, 1)
+
+            # complex larfg (ops/householder.py householder_vector): complex
+            # phase x0/|x0|, beta = -phase*||y||, v = y/(x0-beta), v[0] = 1,
+            # tau = (beta - x0)/beta
+            norm2 = jnp.sum(y[0] * y[0] + y[1] * y[1])
+            normx = jnp.sqrt(norm2)
+            x0 = tuple(jnp.sum(jnp.where(idx_b1 == 0, c, 0.0)) for c in y)
+            mag0 = jnp.sqrt(x0[0] * x0[0] + x0[1] * x0[1])
+            m0safe = jnp.where(mag0 > 0, mag0, 1.0)
+            phase = (jnp.where(mag0 > 0, x0[0] / m0safe, 1.0),
+                     jnp.where(mag0 > 0, x0[1] / m0safe, 0.0))
+            beta = (-phase[0] * normx, -phase[1] * normx)
+            den = (x0[0] - beta[0], x0[1] - beta[1])
+            dn2 = den[0] * den[0] + den[1] * den[1]
+            safe = dn2 > 0
+            dinv = tuple(jnp.where(safe, c, 0.0) / jnp.where(safe, dn2, 1.0)
+                         for c in (den[0], -den[1]))        # 1/den = conj/|.|^2
+            vt = cmul(y, dinv)
+            v = (jnp.where(idx_b1 == 0, 1.0,
+                           jnp.where(safe, vt[0], y[0])),
+                 jnp.where(idx_b1 == 0, 0.0,
+                           jnp.where(safe, vt[1], y[1])))   # (b, 1)
+            # tau = (beta - x0)/beta = -den * conj(beta)/|beta|^2; |beta| = normx
+            b2inv = jnp.where(safe, 1.0, 0.0) / jnp.where(norm2 > 0, norm2, 1.0)
+            tau = cmul((-den[0], -den[1]), (beta[0] * b2inv, -beta[1] * b2inv))
+
+            vrow = (v[0][:, 0][None, :], v[1][:, 0][None, :])     # (1, b)
+            cvrow = (vrow[0], -vrow[1])
+            tv = cmul(tau, v)                                     # (b, 1)
+            ctau = (tau[0], -tau[1])
+
+            def vh_dot(m):     # conj(v)^T m over rows -> (1, cols)
+                return (jnp.sum(v[0] * m[0] + v[1] * m[1], axis=0,
+                                keepdims=True),
+                        jnp.sum(v[0] * m[1] - v[1] * m[0], axis=0,
+                                keepdims=True))
+
+            def mv_dot(m):     # m v over cols -> (rows, 1)
+                return (jnp.sum(m[0] * vrow[0] - m[1] * vrow[1], axis=1,
+                                keepdims=True),
+                        jnp.sum(m[0] * vrow[1] + m[1] * vrow[0], axis=1,
+                                keepdims=True))
+
+            cy2 = csub(cy, cmul(tv, vh_dot(cy)))
+            headcol = tuple(jnp.where(rows_b == 0, c, 0.0) for c in beta)
+            cy2 = tuple(jnp.where(cols_b == ycol, h, c)
+                        for h, c in zip(headcol, cy2))
+
+            # hermitian diagonal block: S = s_ + tril(s_, -1)^H
+            s_full = (s_[0] + jnp.where(slow, s_[0], 0.0).T,
+                      s_[1] - jnp.where(slow, s_[1], 0.0).T)
+            s1 = csub(s_full, cmul(tv, vh_dot(s_full)))
+            s2 = csub(s1, cmul(cmul(ctau, mv_dot(s1)), cvrow))
+            s2 = tuple(jnp.where(rows_b >= cols_b, c, 0.0) for c in s2)
+
+            b2 = csub(b_, cmul(cmul(ctau, mv_dot(b_)), cvrow))
+
+            news = []
+            for p, (cyp, sp, bp_) in enumerate(zip(cy2, s2, b2)):
+                gp = gs[p]
+                news.append(jnp.concatenate([
+                    jnp.concatenate([cyp, sp], axis=1),
+                    jnp.concatenate([gp[b:, :b], bp_], axis=1),
+                    jnp.zeros((b, 2 * b), gp.dtype)], axis=0))
+            merge_back(rslot, i0, im, news, slabs)
+            record_hh(wslot, [jnp.where(idx_b1 == 0, tau[p], v[p]).T
+                              for p in range(P)])
+
+        chase = chase_real if P == 1 else chase_complex
 
         if serial:
             def body(i, _):
@@ -251,14 +390,21 @@ def _make_kernel(*, n, b, nsweeps, ncmax, nlanes, tsteps, ns_total, depth,
 @functools.partial(jax.jit, static_argnames=("n", "b", "sweep_chunk"))
 def band_to_tridiag_strips_pallas(strips, n: int, b: int, sweep_lo=0,
                                   sweep_chunk: int | None = None):
-    """Wavefront bulge chasing on strip storage (f32, b >= 8).
+    """Wavefront bulge chasing on strip storage (f32 or c64, b >= 8).
 
-    strips: (>= n_strips(n, b) + 3, b, 5b) f32 strip storage.
+    strips: (>= n_strips(n, b) + 3, b, 5b) f32/c64 strip storage.
     Returns (d, e, vs, taus) in the shared recorded-reflector layout.
     With ``sweep_chunk``, only sweeps [sweep_lo, sweep_lo + sweep_chunk) are
     recorded (see band_strips.band_to_tridiag_strips).
     """
-    assert strips.dtype == jnp.float32
+    if strips.dtype == jnp.complex64:
+        planes = (jnp.real(strips), jnp.imag(strips))
+    elif strips.dtype == jnp.float32:
+        planes = (strips,)
+    else:
+        raise ValueError(
+            f"pallas bulge chaser supports f32/c64 strips, got {strips.dtype}")
+    P = len(planes)
     nsweeps = n - 2
     ncmax = -(-(n - 1) // b)
     nlanes = ncmax // LAG + 1
@@ -269,29 +415,26 @@ def band_to_tridiag_strips_pallas(strips, n: int, b: int, sweep_lo=0,
     # lane padding so every aligned window DMA [a0, a0 + win) is in bounds
     a0max = ((3 * b - 1) // ALIGN) * ALIGN
     widthp = max(STRIP_W * b, a0max + win)
-    pads = ((0, ns_total - strips.shape[0]), (0, 0),
+    pads = ((0, 0), (0, ns_total - strips.shape[0]), (0, 0),
             (0, widthp - strips.shape[2]))
+    sp = jnp.stack(planes)
     if any(p[1] for p in pads):
-        strips = jnp.pad(strips, pads)
+        sp = jnp.pad(sp, pads)
 
-    # read-prefetch depth 3 + 6 draining write slots measured ~20% faster
-    # than 2/4 at n=8192 b=128 (DMA latency hiding); hazard bound
-    # NW_W + DEPTH <= nlanes still holds for every lane count
-    depth = 3
-    nw_w = max(1, min(6, nlanes - depth))
+    depth, nw_w = _slot_counts(b, P, nlanes)
     nw_r = nw_w + depth
     nrec = nsweeps if sweep_chunk is None else sweep_chunk
 
     kernel = _make_kernel(n=n, b=b, nsweeps=nsweeps, ncmax=ncmax,
                           nlanes=nlanes, tsteps=tsteps, ns_total=ns_total,
-                          depth=depth, nw_w=nw_w, nrec=nrec)
+                          depth=depth, nw_w=nw_w, nrec=nrec, planes=P)
     bp = -(-b // ALIGN) * ALIGN          # lane-aligned reflector record
     bpt = bp // ALIGN                    # 128-wide lane tiles per record row
-    hh0 = jnp.zeros((nrec + 1, ncmax * bpt, ALIGN), jnp.float32)
+    hh0 = jnp.zeros((P, nrec + 1, ncmax * bpt, ALIGN), jnp.float32)
     lo_arr = jnp.asarray([sweep_lo], jnp.int32)
     strips_out, hh = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct(strips.shape, strips.dtype),
+        out_shape=(jax.ShapeDtypeStruct(sp.shape, sp.dtype),
                    jax.ShapeDtypeStruct(hh0.shape, hh0.dtype)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.ANY),
@@ -299,19 +442,26 @@ def band_to_tridiag_strips_pallas(strips, n: int, b: int, sweep_lo=0,
         out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
                    pl.BlockSpec(memory_space=pltpu.ANY)),
         scratch_shapes=[
-            pltpu.VMEM((nw_r, 3, b, win), jnp.float32),
-            pltpu.VMEM((nw_w, bpt, ALIGN), jnp.float32),
-            pltpu.SemaphoreType.DMA((nw_r, 3)),
-            pltpu.SemaphoreType.DMA((nw_w, 3)),
-            pltpu.SemaphoreType.DMA((nw_w,)),
+            pltpu.VMEM((nw_r, P, 3, b, win), jnp.float32),
+            pltpu.VMEM((nw_w, P, bpt, ALIGN), jnp.float32),
+            pltpu.SemaphoreType.DMA((nw_r, P, 3)),
+            pltpu.SemaphoreType.DMA((nw_w, P, 3)),
+            pltpu.SemaphoreType.DMA((nw_w, P)),
         ],
         input_output_aliases={0: 0, 1: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(strips, hh0, lo_arr)
+    )(sp, hh0, lo_arr)
 
+    if P == 2:
+        strips_out = lax.complex(strips_out[0], strips_out[1])
+        hhc = lax.complex(hh[0], hh[1])
+    else:
+        strips_out = strips_out[0]
+        hhc = hh[0]
     from ...algos.eigensolver.band_strips import strips_extract_tridiag
     d, e = strips_extract_tridiag(strips_out[:, :, :STRIP_W * b], n, b)
-    hh = hh[:nrec].reshape(nrec, ncmax, bp)[:, :, :b]
-    taus = hh[:, :, 0]
-    vs = hh.at[:, :, 0].set(jnp.where(taus != 0, 1.0, 0.0))
+    hhc = hhc[:nrec].reshape(nrec, ncmax, bp)[:, :, :b]
+    taus = hhc[:, :, 0]
+    one = jnp.ones((), hhc.dtype)
+    vs = hhc.at[:, :, 0].set(jnp.where(taus != 0, one, jnp.zeros_like(one)))
     return d, e, vs, taus

@@ -48,15 +48,15 @@ def test_strips_kernel_matches_dense(dtype, n, b):
     assert float(jnp.max(jnp.abs(t0 - t1))) <= bound
 
 
-@pytest.mark.parametrize("n,b", [
-    (50, 8),
-    pytest.param(64, 8, marks=pytest.mark.slow),
-    pytest.param(70, 16, marks=pytest.mark.slow),
+@pytest.mark.parametrize("n,b,dtype", [
+    (50, 8, np.dtype("float32")),
+    (50, 8, np.dtype("complex64")),
+    pytest.param(64, 8, np.dtype("float32"), marks=pytest.mark.slow),
+    pytest.param(70, 16, np.dtype("complex64"), marks=pytest.mark.slow),
 ])
-def test_pallas_kernel_matches_dense_interpret(n, b):
+def test_pallas_kernel_matches_dense_interpret(n, b, dtype):
     from jax.experimental.pallas import tpu as pltpu
     from dlaf_tpu.ops.pallas.band2tridiag import band_to_tridiag_strips_pallas
-    dtype = np.dtype("float32")
     band = _band(n, b, dtype)
     d0, e0, vs0, t0 = dense_ref(band, b)
     strips = bs.band_to_strips(band, b)
