@@ -93,6 +93,42 @@ def tile_size_of(global_tile, size, nb):
 
 
 # ---------------------------------------------------------------------------
+# block != tile (multi-tile distribution blocks), reference
+# util_distribution.h where every conversion takes ``tiles_per_block``:
+# the *block* is the cyclic distribution unit, the *tile* the algorithmic
+# unit, block = tiles_per_block * tile.
+
+
+def rank_global_tile_b(global_tile, tpb, grid, src=0):
+    """Rank owning ``global_tile`` when blocks span ``tpb`` tiles."""
+    return (global_tile // tpb + src) % grid
+
+
+def local_tile_from_global_tile_b(global_tile, tpb, grid):
+    """Local tile index on the owner: whole local blocks before it, plus the
+    tile's offset inside its block."""
+    return (global_tile // tpb) // grid * tpb + global_tile % tpb
+
+
+def global_tile_from_local_tile_b(local_tile, tpb, grid, rank, src=0):
+    lb = local_tile // tpb
+    return (lb * grid + (rank - src) % grid) * tpb + local_tile % tpb
+
+
+def next_local_tile_from_global_tile_b(global_tile, tpb, grid, rank, src=0):
+    """Number of global tiles < ``global_tile`` owned by ``rank``."""
+    b = global_tile // tpb
+    k = (rank - src) % grid
+    full = ceil_div(b - k, grid) * tpb
+    own_b = (b + src) % grid == rank % grid
+    return full + np.where(own_b, global_tile % tpb, 0)
+
+
+def local_num_tiles_b(num_tiles, tpb, grid, rank, src=0):
+    return next_local_tile_from_global_tile_b(num_tiles, tpb, grid, rank, src)
+
+
+# ---------------------------------------------------------------------------
 # element-level distributed conversions
 
 

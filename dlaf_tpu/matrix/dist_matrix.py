@@ -146,6 +146,53 @@ class DistMatrix:
                                    mesh=self.grid.mesh)
         return DistMatrix(data, self.dist, self.grid)
 
+    def retiled(self, tile_size) -> "DistMatrix":
+        """Finer-tiled metadata view of the same device buffers (reference
+        ``retiledSubPipeline``, ``matrix/matrix.h:377-432``): no data movement,
+        only ``dist.tile`` changes."""
+        return DistMatrix(self.data, self.dist.retiled(tile_size), self.grid)
+
+    def sub_matrix(self, tile_offset, size, pad_identity: bool = False) -> "DistMatrix":
+        """Device-resident extraction of the tile-aligned sub-matrix starting
+        at global tile ``tile_offset`` with element ``size`` into a fresh
+        canonical DistMatrix with src rank (0, 0).
+
+        TPU-native analog of the reference's ``MatrixRef``
+        (``matrix/matrix_ref.h:34``): because block-cyclic ownership of the
+        sub-matrix is the parent's shifted by a *constant* rank offset per
+        axis, the reshard is one ``lax.ppermute`` per mesh axis plus a
+        device-local dynamic slice — no host gather, O(sub size / D) per
+        device.  ``pad_identity`` fills the canonical padding with an identity
+        block (required before running SPD/triangular algorithms on the view).
+        """
+        oti, otj = tile_offset
+        m2, n2 = size
+        nb = self.dist.block_size[0]
+        assert self.dist.block_size[0] == self.dist.block_size[1]
+        assert self.dist.src_rank == (0, 0)
+        newdist = Distribution((m2, n2), self.dist.block_size,
+                               self.grid.grid_size)
+        lmt2, lnt2 = newdist.max_local_nr_tiles
+        data = _sub_matrix_extract(
+            self.data, oti=oti, otj=otj, m2=m2, n2=n2, nb=nb,
+            lmt2=lmt2, lnt2=lnt2, grid_size=self.grid.grid_size,
+            pad_identity=pad_identity, mesh=self.grid.mesh)
+        return DistMatrix(data, newdist, self.grid)
+
+    def set_sub_matrix(self, sub: "DistMatrix", tile_offset) -> "DistMatrix":
+        """Write ``sub``'s true (m2, n2) region back into this matrix at global
+        tile ``tile_offset`` (inverse of :meth:`sub_matrix`), device-resident.
+        Returns the updated matrix; padding regions of ``sub`` are ignored."""
+        oti, otj = tile_offset
+        m2, n2 = sub.dist.size
+        nb = self.dist.block_size[0]
+        assert sub.dist.block_size == self.dist.block_size
+        assert self.dist.src_rank == (0, 0) and sub.dist.src_rank == (0, 0)
+        data = _sub_matrix_insert(
+            self.data, sub.data, oti=oti, otj=otj, m2=m2, n2=n2, nb=nb,
+            grid_size=self.grid.grid_size, mesh=self.grid.mesh)
+        return DistMatrix(data, self.dist, self.grid)
+
     def src_rank_t(self):
         return (self.dist.src_rank[1] % self.grid.grid_size[0],
                 self.dist.src_rank[0] % self.grid.grid_size[1])
@@ -252,6 +299,108 @@ def _transpose_a2a(data, *, nb, grid_size, lmt2, lnt2, conj, mesh):
         mesh=mesh, in_specs=(P(ROW_AXIS, COL_AXIS, None, None),),
         out_specs=P(ROW_AXIS, COL_AXIS, None, None))
     return fn(data)
+
+
+def _global_rows(lmt, nb, grid, r):
+    """Global element rows covered by this rank's ``lmt`` local tiles."""
+    return (jnp.arange(lmt) * grid + r).repeat(nb) * nb + \
+        jnp.tile(jnp.arange(nb), lmt)
+
+
+def _sub_extract_shardfn(a4, *, oti, otj, m2, n2, nb, lmt2, lnt2, P, Q,
+                         pad_identity):
+    from jax import lax
+
+    from ..comm.mesh import COL_AXIS, ROW_AXIS
+    a = a4[0, 0]
+    p = lax.axis_index(ROW_AXIS).astype(jnp.int32)
+    q = lax.axis_index(COL_AXIS).astype(jnp.int32)
+    # sub tile (i2, j2) is parent tile (i2+oti, j2+otj): ownership shifts by a
+    # constant rank offset, so one ppermute per axis brings the right shard
+    if oti % P:
+        a = lax.ppermute(a, ROW_AXIS, [(s, (s - oti) % P) for s in range(P)])
+    if otj % Q:
+        a = lax.ppermute(a, COL_AXIS, [(s, (s - otj) % Q) for s in range(Q)])
+    lm, ln = a.shape
+    pad_r = max(0, ((P - 1 + oti) // P + lmt2) * nb - lm)
+    pad_c = max(0, ((Q - 1 + otj) // Q + lnt2) * nb - ln)
+    a = jnp.pad(a, ((0, pad_r), (0, pad_c)))
+    # ... and the local tile index shifts by the rank-dependent constant
+    # (p+oti)//P (global (t2*P+p)+oti = (t2 + (p+oti)//P)*P + (p+oti)%P)
+    roff = (p + oti) // P * nb
+    coff = (q + otj) // Q * nb
+    out = lax.dynamic_slice(a, (roff, coff), (lmt2 * nb, lnt2 * nb))
+    grow = _global_rows(lmt2, nb, P, p)
+    gcol = _global_rows(lnt2, nb, Q, q)
+    valid = (grow < m2)[:, None] & (gcol < n2)[None, :]
+    out = jnp.where(valid, out, 0)
+    if pad_identity:
+        eye = (grow[:, None] == gcol[None, :]) & ~valid
+        out = jnp.where(eye, jnp.ones((), out.dtype), out)
+    return out[None, None]
+
+
+@functools.partial(jax.jit, static_argnames=("oti", "otj", "m2", "n2", "nb",
+                                             "lmt2", "lnt2", "grid_size",
+                                             "pad_identity", "mesh"))
+def _sub_matrix_extract(data, *, oti, otj, m2, n2, nb, lmt2, lnt2, grid_size,
+                        pad_identity, mesh):
+    from jax.sharding import PartitionSpec as P
+    from ..comm.mesh import COL_AXIS, ROW_AXIS
+    fn = jax.shard_map(
+        functools.partial(_sub_extract_shardfn, oti=oti, otj=otj, m2=m2, n2=n2,
+                          nb=nb, lmt2=lmt2, lnt2=lnt2, P=grid_size[0],
+                          Q=grid_size[1], pad_identity=pad_identity),
+        mesh=mesh, in_specs=(P(ROW_AXIS, COL_AXIS, None, None),),
+        out_specs=P(ROW_AXIS, COL_AXIS, None, None))
+    return fn(data)
+
+
+def _sub_insert_shardfn(a4, s4, *, oti, otj, m2, n2, nb, P, Q):
+    from jax import lax
+
+    from ..comm.mesh import COL_AXIS, ROW_AXIS
+    a, s = a4[0, 0], s4[0, 0]
+    p = lax.axis_index(ROW_AXIS).astype(jnp.int32)
+    q = lax.axis_index(COL_AXIS).astype(jnp.int32)
+    lm, ln = a.shape
+    lmt2, lnt2 = s.shape[0] // nb, s.shape[1] // nb
+    grow = _global_rows(lmt2, nb, P, p)
+    gcol = _global_rows(lnt2, nb, Q, q)
+    valid = (grow < m2)[:, None] & (gcol < n2)[None, :]
+    # stage into a parent-shaped buffer at the (rank-dependent) local offset,
+    # THEN permute to the owner — the offset is known on the source rank
+    pad_r = max(0, ((P - 1 + oti) // P + lmt2) * nb - lm)
+    pad_c = max(0, ((Q - 1 + otj) // Q + lnt2) * nb - ln)
+    buf = jnp.zeros((lm + pad_r, ln + pad_c), a.dtype)
+    msk = jnp.zeros((lm + pad_r, ln + pad_c), jnp.bool_)
+    roff = (p + oti) // P * nb
+    coff = (q + otj) // Q * nb
+    buf = lax.dynamic_update_slice(buf, jnp.where(valid, s, 0), (roff, coff))
+    msk = lax.dynamic_update_slice(msk, valid, (roff, coff))
+    if oti % P:
+        perm = [(r, (r + oti) % P) for r in range(P)]
+        buf = lax.ppermute(buf, ROW_AXIS, perm)
+        msk = lax.ppermute(msk, ROW_AXIS, perm)
+    if otj % Q:
+        perm = [(r, (r + otj) % Q) for r in range(Q)]
+        buf = lax.ppermute(buf, COL_AXIS, perm)
+        msk = lax.ppermute(msk, COL_AXIS, perm)
+    out = jnp.where(msk[:lm, :ln], buf[:lm, :ln], a)
+    return out[None, None]
+
+
+@functools.partial(jax.jit, static_argnames=("oti", "otj", "m2", "n2", "nb",
+                                             "grid_size", "mesh"))
+def _sub_matrix_insert(data, sub, *, oti, otj, m2, n2, nb, grid_size, mesh):
+    from jax.sharding import PartitionSpec as P
+    from ..comm.mesh import COL_AXIS, ROW_AXIS
+    spec = P(ROW_AXIS, COL_AXIS, None, None)
+    fn = jax.shard_map(
+        functools.partial(_sub_insert_shardfn, oti=oti, otj=otj, m2=m2, n2=n2,
+                          nb=nb, P=grid_size[0], Q=grid_size[1]),
+        mesh=mesh, in_specs=(spec, spec), out_specs=spec)
+    return fn(data, sub)
 
 
 def _symmetrize_shardfn(a4, t4, *, nb, lower):

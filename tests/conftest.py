@@ -11,6 +11,17 @@ TPU backend (no platform override, f32 only) and runs the ``tpu``-marked
 hardware tests — Pallas kernels and the local drivers on the actual chip.
 """
 import os
+import resource
+
+# XLA's executable (de)serializer recurses deeply on the big eigensolver
+# programs; with the default 8 MiB stack the persistent-compile-cache
+# read/write path segfaults (observed: put/get_executable_and_time).
+# Raise the main-thread stack limit before jax initializes.
+try:
+    resource.setrlimit(resource.RLIMIT_STACK,
+                       (resource.RLIM_INFINITY, resource.RLIM_INFINITY))
+except (ValueError, OSError):
+    pass
 
 TPU_LANE = os.environ.get("DLAF_TPU_TESTS") == "1"
 

@@ -103,3 +103,66 @@ def test_sub_distribution():
     assert s.rank_global_tile((0, 0)) == d.rank_global_tile((2, 3))
     with pytest.raises(ValueError):
         d.sub_distribution((3, 0), (8, 8))
+
+
+def test_block_ne_tile_1d_bruteforce():
+    """Block != tile 1-D conversions vs explicit enumeration (reference
+    util_distribution.h with tiles_per_block > 1)."""
+    for grid in (1, 2, 3):
+        for src in range(grid):
+            for tpb in (1, 2, 4):
+                nt = 23
+                # enumerate: tile t belongs to block t//tpb, owner cyclic
+                owner = [((t // tpb) + src) % grid for t in range(nt)]
+                local = {}
+                counts = [0] * grid
+                for t in range(nt):
+                    r = owner[t]
+                    local[t] = counts[r]
+                    counts[r] += 1
+                for t in range(nt):
+                    r = ix.rank_global_tile_b(t, tpb, grid, src)
+                    assert r == owner[t], (t, tpb, grid, src)
+                    lt = ix.local_tile_from_global_tile_b(t, tpb, grid)
+                    assert lt == local[t], (t, tpb, grid, src, lt, local[t])
+                    assert ix.global_tile_from_local_tile_b(
+                        lt, tpb, grid, r, src) == t
+                    for rank in range(grid):
+                        want = sum(1 for u in range(t) if owner[u] == rank)
+                        got = ix.next_local_tile_from_global_tile_b(
+                            t, tpb, grid, rank, src)
+                        assert got == want, (t, tpb, grid, src, rank)
+                for rank in range(grid):
+                    assert ix.local_num_tiles_b(nt, tpb, grid, rank, src) == \
+                        counts[rank]
+
+
+def test_distribution_block_ne_tile():
+    """2-D Distribution with multi-tile blocks (reference
+    matrix/distribution.h:59-63): ownership by block, tiling finer."""
+    d = Distribution(size=(65, 33), block_size=(16, 8), grid_size=(3, 2),
+                     src_rank=(1, 0), tile_size=(4, 4))
+    assert d.tiles_per_block == (4, 2)
+    assert d.nr_tiles == (17, 9)
+    assert d.nr_blocks == (5, 5)
+    # tiles inside one block share an owner
+    assert d.rank_global_tile((0, 0)) == d.rank_global_tile((3, 1))
+    assert d.rank_global_tile((4, 0)) != d.rank_global_tile((3, 0)) or 3 % 3 == 0
+    for i in range(17):
+        for j in range(9):
+            r = d.rank_global_tile((i, j))
+            lt = d.local_tile_index((i, j))
+            assert d.global_tile_from_local(lt, r) == (i, j)
+    tot = 0
+    for p in range(3):
+        for q in range(2):
+            lm, ln = d.local_size((p, q))
+            tot += lm * ln
+    assert tot == 65 * 33
+    # retiled view keeps layout/ownership, changes tiling only
+    r = d.retiled((16, 8))
+    assert r.tile == (16, 8) and r.tile_size is None
+    assert r.padded_size == d.padded_size
+    assert r.max_local_nr_tiles == d.max_local_nr_tiles
+    r2 = r.retiled((4, 4))
+    assert r2 == d

@@ -136,3 +136,64 @@ def test_cols_to_canonical_all_to_all():
                                 sharding=grid.canonical_sharding())
         got = np.asarray(gather_from_shards(out, dist))
         assert np.array_equal(got, np.asarray(qfull)[:pm, :pn])
+
+
+@pytest.mark.parametrize("grid_size", [(2, 2), (2, 3), (1, 8), (4, 2)])
+@pytest.mark.parametrize("off_t", [(0, 0), (1, 2), (3, 1)])
+def test_sub_matrix_extract_insert(grid_size, off_t):
+    """Device-resident sub-matrix view (reference MatrixRef,
+    matrix/matrix_ref.h:34): extraction matches the host slice, write-back
+    round-trips, and the parent outside the window is untouched."""
+    n, nb = 96, 8
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.standard_normal((n, n)))
+    dm = DistMatrix.from_global(a, nb, Grid(grid_size))
+    oi, oj = off_t[0] * nb, off_t[1] * nb
+    m2, n2 = 40, 33          # deliberately not tile multiples
+    sub = dm.sub_matrix(off_t, (m2, n2))
+    np.testing.assert_allclose(np.asarray(sub.to_global()),
+                               np.asarray(a)[oi:oi + m2, oj:oj + n2])
+    # modify the sub view, write back
+    sub2 = DistMatrix(jnp.asarray(sub.data) * 2.0, sub.dist, sub.grid)
+    back = dm.set_sub_matrix(sub2, off_t)
+    want = np.asarray(a).copy()
+    want[oi:oi + m2, oj:oj + n2] *= 2.0
+    np.testing.assert_allclose(np.asarray(back.to_global()), want)
+
+
+def test_algorithm_on_sub_matrix_view():
+    """An algorithm runs on a device-side sub-matrix view: Cholesky of the
+    trailing block of a larger matrix, without host gathers (the reference
+    runs algorithms on MatrixRef sub-matrices the same way)."""
+    from dlaf_tpu.algos.cholesky import cholesky
+
+    n, nb, off = 96, 8, 4
+    rng = np.random.default_rng(8)
+    g = rng.standard_normal((n, n))
+    spd = g @ g.T + n * np.eye(n)
+    dm = DistMatrix.from_global(jnp.asarray(spd), nb, Grid((2, 2)))
+    m2 = n - off * nb
+    sub = dm.sub_matrix((off, off), (m2, m2), pad_identity=True)
+    out = cholesky(sub)
+    l = np.tril(np.asarray(out.to_global()))
+    want = np.linalg.cholesky(spd[off * nb:, off * nb:])
+    np.testing.assert_allclose(l, want, atol=1e-8)
+    # and the result goes back into the parent device-side
+    back = dm.set_sub_matrix(out, (off, off))
+    bg = np.asarray(back.to_global())
+    np.testing.assert_allclose(np.tril(bg[off * nb:, off * nb:]), want,
+                               atol=1e-8)
+
+
+def test_retiled_view():
+    n, nb = 64, 16
+    a = jnp.asarray(np.random.default_rng(9).standard_normal((n, n)))
+    dm = DistMatrix.from_global(a, nb, Grid((2, 2)))
+    r = dm.retiled((4, 4))
+    assert r.dist.tile == (4, 4)
+    assert r.dist.nr_tiles == (16, 16)
+    # same buffers, same global content
+    assert r.data is dm.data
+    np.testing.assert_array_equal(np.asarray(r.to_global()), np.asarray(a))
+    # ownership consistent: finer tile (i,j) owned by its block's owner
+    assert r.dist.rank_global_tile((7, 2)) == dm.dist.rank_global_tile((1, 0))
