@@ -111,17 +111,69 @@ def main():
 
     heev = {"n": ne, "seconds": round(t_eigh, 3), "orth": orth, "res": res,
             "residual_gates_pass": bool(gates)}
+
+    # HEEV at the BASELINE.json contract scale n = 32768 (probe residuals:
+    # the full n^3 host-side checks would take ~30 min on this 1-core host,
+    # so gates use O(n^2)-per-probe products; stage-1+2 share timed by
+    # running stages 1-2 alone once)
+    heev_big = None
+    try:
+        nb2 = 32768
+        ab = gen.random_hermitian(jax.random.PRNGKey(3), nb2, jnp.float32)
+        w, v = eigh_fn(ab)
+        _sync(v)
+        t0 = time.perf_counter()
+        w, v = eigh_fn(ab)
+        _sync(v)
+        t_big = time.perf_counter() - t0 - ovh
+        # stage 1+2 share
+        from dlaf_tpu.algos.eigensolver.band2tridiag import band_to_tridiag_auto
+        from dlaf_tpu.algos.eigensolver.driver import get_band_size
+        from dlaf_tpu.algos.eigensolver.red2band import (extract_band,
+                                                         reduction_to_band)
+        from dlaf_tpu.tune import get_tune_parameters
+        bnd = get_band_size(get_tune_parameters().default_block_size)
+        s12_fn = jax.jit(lambda x: band_to_tridiag_auto(
+            extract_band(reduction_to_band(x, bnd)[0], bnd), bnd)[0])
+        s1_fn = jax.jit(lambda x: reduction_to_band(x, bnd)[0])
+        d_ = s12_fn(ab); _sync(d_)
+        t0 = time.perf_counter(); d_ = s12_fn(ab); _sync(d_)
+        t_s12 = time.perf_counter() - t0 - ovh
+        p_ = s1_fn(ab); _sync(p_)
+        t0 = time.perf_counter(); p_ = s1_fn(ab); _sync(p_)
+        t_s1 = time.perf_counter() - t0 - ovh
+        del p_, d_
+        wn, vn = np.asarray(w), np.asarray(v)
+        an = np.asarray(ab)
+        rng = np.random.default_rng(0)
+        u = rng.standard_normal((nb2, 4)).astype(np.float32)
+        u /= np.linalg.norm(u, axis=0, keepdims=True)
+        orth_b = float(np.abs(vn.T @ (vn @ u) - u).max())
+        res_b = float(np.abs(an @ (vn @ u) - vn @ (wn[:, None] * u)).max())
+        scale_b = float(max(np.abs(an).max(), 1.0))
+        gates_b = orth_b <= 500 * nb2 * eps32 and \
+            res_b <= 1000 * nb2 * eps32 * scale_b
+        heev_big = {"n": nb2, "seconds": round(t_big, 3),
+                    "stage12_seconds": round(t_s12, 3),
+                    "stage1_seconds": round(t_s1, 3),
+                    "orth_probe": orth_b, "res_probe": res_b,
+                    "residual_gates_pass": bool(gates_b)}
+        del w, v, wn, vn, an, ab
+    except Exception as exc:  # noqa: BLE001 - report, don't fail the bench
+        heev_big = {"error": repr(exc)[:300]}
     line = {
         "metric": f"potrf_f32_n{n}_tflops",
         "value": round(tflops, 2),
         "unit": "TFLOP/s",
         "vs_baseline": round(tflops / peak, 4),
         "heev": heev,
+        "heev_32768": heev_big,
     }
     with open("/root/repo/BENCH_EXTRA.json", "w") as f:
         json.dump({"potrf_tflops": round(tflops, 2),
                    "gemm_ceiling_tflops": round(peak, 2),
-                   "heev": heev}, f, indent=1)
+                   "heev": heev,
+                   "heev_32768": heev_big}, f, indent=1)
     print(json.dumps(line))
 
 

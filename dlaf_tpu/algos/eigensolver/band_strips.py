@@ -197,6 +197,105 @@ def chase_math(g_, first: bool, b: int):
     return g_new, v, tau
 
 
+# ---------------------------------------------------------------------------
+# wavefront (pipelined) chasing: the parallel schedule behind the
+# compute-distributed stage 2 (reference SweepWorkerDist handoff,
+# eigensolver/band_to_tridiag/mc.h:568-661).
+#
+# Chase (s, c) runs at wavefront time t = 3s + c.  Concurrent chases then
+# differ in i0 = s + 1 + c*b by multiples of 3b-1, so their (2b x 2b)
+# windows are element-disjoint, and every ordered pair of *overlapping*
+# chases ((s+1, c') overlaps (s, c) iff c' - c in {-2..1}) executes in
+# sequential-prefix order (t' - t = 3 + c' - c >= 1) — the pipelined result
+# is bit-identical to the sequential sweep loop.
+
+
+def wavefront_nsteps(n: int, b: int) -> int:
+    nsweeps = max(n - 2, 1)
+    ncmax = -(-(n - 1) // b)
+    return 3 * (nsweeps - 1) + ncmax
+
+
+def wavefront_k(S: int, b: int) -> int:
+    """Upper bound on concurrent chases inside a segment of S strips."""
+    return (S * b) // (3 * b - 1) + 2
+
+
+def chase_wavefront_step(ext, vs, taus, t, *, n, b, S, seg0, K):
+    """Execute every wavefront-``t`` chase whose i0 lies in strip rows
+    [seg0*b, (seg0+S)*b) on the extended local strip array ``ext``
+    ((S+2, b, 5b): strips seg0 .. seg0+S+1, the last two a right halo).
+
+    Records reflectors segment-locally: sweep s's chases inside this
+    segment land at vs[s, c - c_lo(s)] with
+    c_lo(s) = max(0, seg0 - (s+1)//b); vs has a discard row at index
+    nsweeps for masked slots.  Returns (ext, vs, taus).
+    """
+    nsweeps = n - 2
+    lo = seg0 * b
+    hi = (seg0 + S) * b
+    t = jnp.asarray(t, jnp.int32)
+    # i0(s) = t*b + 1 + s*(1 - 3b) is decreasing in s; the smallest active
+    # s in this segment satisfies i0 < hi
+    s_min = (t * b + 1 - hi) // (3 * b - 1) + 1
+
+    def body(k, carry):
+        ext, vs, taus = carry
+        s = s_min + jnp.asarray(k, jnp.int32)
+        c = t - 3 * s
+        i0 = s + 1 + c * b
+        nc = -(-(n - 1 - s) // b)
+        valid = (s >= 0) & (s < nsweeps) & (c >= 0) & (c < nc) & \
+            (i0 >= lo) & (i0 < hi)
+        i0l = jnp.clip(i0 - lo, 0, S * b - 1)
+        g_, s3, im = _chase_window(ext, i0l, b)
+        g0, v0, tau0 = chase_math(g_, first=True, b=b)
+        g1, v1, tau1 = chase_math(g_, first=False, b=b)
+        isfirst = c == 0
+        g_new = jnp.where(isfirst, g0, g1)
+        v = jnp.where(isfirst, v0, v1)
+        tau = jnp.where(isfirst, tau0, tau1)
+        g_new = jnp.where(valid, g_new, g_)
+        v = jnp.where(valid, v, 0)
+        tau = jnp.where(valid, tau, 0)
+        ext = _chase_scatter(ext, g_new, s3, im, i0l, b)
+        c_lo = jnp.maximum(0, seg0 - (s + 1) // b)
+        discard = vs.shape[0] - 1
+        srec = jnp.where(valid, jnp.clip(s, 0, discard), discard)
+        crec = jnp.clip(c - c_lo, 0, vs.shape[1] - 1)
+        vs = lax.dynamic_update_slice(vs, v[None, None, :],
+                                      (srec, crec, jnp.int32(0)))
+        taus = lax.dynamic_update_slice(taus, tau[None, None], (srec, crec))
+        return ext, vs, taus
+
+    return lax.fori_loop(0, K, body, (ext, vs, taus))
+
+
+@functools.partial(jax.jit, static_argnames=("n", "b"))
+def band_to_tridiag_wavefront(strips, n: int, b: int):
+    """Single-device wavefront-scheduled chase: same result as
+    :func:`band_to_tridiag_strips`, but executed on the t = 3s + c pipeline
+    schedule (the schedule the distributed chase runs per segment)."""
+    ns = strips.shape[0]
+    dt_ = strips.dtype
+    nsweeps = n - 2
+    ncmax = -(-(n - 1) // b)
+    ext = jnp.concatenate([strips, jnp.zeros((2, b, STRIP_W * b), dt_)])
+    vs0 = jnp.zeros((nsweeps + 1, ncmax, b), dt_)
+    taus0 = jnp.zeros((nsweeps + 1, ncmax), dt_)
+    K = wavefront_k(ns, b)
+
+    def step(t, carry):
+        ext, vs, taus = carry
+        return chase_wavefront_step(ext, vs, taus, t, n=n, b=b, S=ns,
+                                    seg0=0, K=K)
+
+    ext, vs, taus = lax.fori_loop(0, wavefront_nsteps(n, b), step,
+                                  (ext, vs0, taus0))
+    d, e = strips_extract_tridiag(ext[:ns], n, b)
+    return d, e, vs[:nsweeps], taus[:nsweeps]
+
+
 @functools.partial(jax.jit, static_argnames=("n", "b", "sweep_chunk"))
 def band_to_tridiag_strips(strips, n: int, b: int, sweep_lo=0,
                            sweep_chunk: int | None = None):

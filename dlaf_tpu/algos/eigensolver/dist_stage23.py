@@ -182,6 +182,10 @@ def band_to_tridiag_dist(strips, n_eff: int, b: int, mesh):
     Returns (d, e, vs, taus) with vs/taus sweep-sharded jax.Arrays of global
     leading dim D*ceil(nsweeps/D) (padded sweeps have tau == 0: no-ops).
     """
+    from ...tune import get_tune_parameters
+
+    if get_tune_parameters().band_to_tridiag_dist_mode == "pipelined":
+        return band_to_tridiag_dist_pipelined(strips, n_eff, b, mesh)
     D = mesh.devices.size
     nsweeps = max(n_eff - 2, 1)
     chunk = -(-nsweeps // D)
@@ -190,6 +194,171 @@ def band_to_tridiag_dist(strips, n_eff: int, b: int, mesh):
         strips.dtype in (jnp.float32, jnp.complex64)
     return _stage2_dist(strips, n_eff=n_eff, b=b, chunk=chunk,
                         use_pallas=use_pallas, mesh=mesh)
+
+
+# ---------------------------------------------------------------------------
+# stage 2 (pipelined): compute-distributed chase over band-column segments
+#
+# The replicated path above chases the whole band on every device; this one
+# pipelines the sweeps across devices (reference SweepWorkerDist handoff,
+# ``band_to_tridiag/mc.h:568-661``): device d owns a contiguous segment of
+# strips, each wavefront step t executes the t = 3s + c chases that fall in
+# the local segment (band_strips.chase_wavefront_step), and segment-boundary
+# state moves over ICI as a 2-strip halo pull + additive write-back delta —
+# per-device chase work shrinks ~D/2x while the result stays bit-identical
+# to the sequential schedule.
+
+
+def _shift_from_next(x, P_, Q_):
+    """x_new[did] = x[did + 1] in flat row-major device order (zeros at the
+    last device) — composed from per-axis ppermutes."""
+    if P_ * Q_ == 1:
+        return jnp.zeros_like(x)
+    a = lax.ppermute(x, COL_AXIS, [(s, s - 1) for s in range(1, Q_)])
+    if P_ > 1:
+        w = lax.ppermute(x, COL_AXIS, [(0, Q_ - 1)])
+        w = lax.ppermute(w, ROW_AXIS, [(s, s - 1) for s in range(1, P_)])
+        a = a + w
+    return a
+
+
+def _shift_to_next(x, P_, Q_):
+    """x_new[did] = x[did - 1] (zeros at device 0)."""
+    if P_ * Q_ == 1:
+        return jnp.zeros_like(x)
+    a = lax.ppermute(x, COL_AXIS, [(s, s + 1) for s in range(Q_ - 1)])
+    if P_ > 1:
+        w = lax.ppermute(x, COL_AXIS, [(Q_ - 1, 0)])
+        w = lax.ppermute(w, ROW_AXIS, [(s, s + 1) for s in range(P_ - 1)])
+        a = a + w
+    return a
+
+
+def _stage2_pipe_shardfn(strips, *, n_eff, b, S, K, T, nrec, P_, Q_):
+    from .band_strips import COL_BASE, STRIP_W, chase_wavefront_step
+
+    p = lax.axis_index(ROW_AXIS).astype(jnp.int32)
+    q = lax.axis_index(COL_AXIS).astype(jnp.int32)
+    did = p * Q_ + q
+    seg0 = did * S
+    dt_ = strips.dtype
+    loc = lax.dynamic_slice(strips, (seg0, jnp.int32(0), jnp.int32(0)),
+                            (S, b, STRIP_W * b))
+    vs = jnp.zeros((nrec + 1, S + 1, b), dt_)
+    taus = jnp.zeros((nrec + 1, S + 1), dt_)
+
+    def step(t, carry):
+        loc, vs, taus = carry
+        halo = _shift_from_next(loc[:2], P_, Q_)
+        ext = jnp.concatenate([loc, halo], axis=0)
+        ext, vs, taus = chase_wavefront_step(
+            ext, vs, taus, t, n=n_eff, b=b, S=S, seg0=seg0, K=K)
+        back = _shift_to_next(ext[S:] - halo, P_, Q_)
+        loc = ext[:S].at[:2].add(back)
+        return loc, vs, taus
+
+    loc, vs, taus = lax.fori_loop(0, T, step, (loc, vs, taus))
+
+    i = jnp.arange(b)
+    dloc = loc[:, i, i + COL_BASE * b].reshape(S * b)
+    eloc = loc[:, i, i + COL_BASE * b - 1].reshape(S * b)
+    D = P_ * Q_
+    z = jnp.zeros((D * S * b,), dt_)
+    dfull = lax.psum(lax.psum(
+        lax.dynamic_update_slice(z, dloc, (seg0 * b,)), ROW_AXIS), COL_AXIS)
+    efull = lax.psum(lax.psum(
+        lax.dynamic_update_slice(z, eloc, (seg0 * b,)), ROW_AXIS), COL_AXIS)
+    return jnp.real(dfull[:n_eff]), efull[1:n_eff], vs, taus
+
+
+def _record_reshard_shardfn(vs, taus, *, nsweeps, chunk, S, b, P_, Q_, ncmax):
+    """Segment-local reflector record (all sweeps, local chase window) ->
+    sweep-sharded record (my chunk of sweeps, all chases): one all_to_all
+    over sweep chunks, then static placement of each segment's window at its
+    per-sweep chase offset c_lo(s) = max(0, seg*S - (s+1)//b)."""
+    D = P_ * Q_
+    p = lax.axis_index(ROW_AXIS).astype(jnp.int32)
+    q = lax.axis_index(COL_AXIS).astype(jnp.int32)
+    did = p * Q_ + q
+    CSEG = S + 1
+    ncmax_pad = (D - 1) * S + CSEG
+    dt_ = vs.dtype
+    x = vs[:D * chunk].reshape(D, chunk, CSEG, b)
+    xt = taus[:D * chunk].reshape(D, chunk, CSEG)
+    got = lax.all_to_all(x, AXES, split_axis=0, concat_axis=0, tiled=True)
+    gott = lax.all_to_all(xt, AXES, split_axis=0, concat_axis=0, tiled=True)
+
+    out_v = jnp.zeros((chunk, ncmax_pad, b), dt_)
+    out_t = jnp.zeros((chunk, ncmax_pad), dt_)
+    s0g = did * chunk
+    L = min(b, chunk)
+    nf = chunk // b + 2
+    for dpp in range(D):
+        segv, segt = got[dpp], gott[dpp]
+
+        def body(g, carry, segv=segv, segt=segt, dpp=dpp):
+            ov, ot = carry
+            f = (s0g + 1) // b + jnp.asarray(g, jnp.int32)
+            start = f * b - 1 - s0g
+            sl0 = jnp.clip(start, 0, chunk - L)
+            rows = lax.dynamic_slice(segv, (sl0, jnp.int32(0), jnp.int32(0)),
+                                     (L, CSEG, b))
+            rowst = lax.dynamic_slice(segt, (sl0, jnp.int32(0)), (L, CSEG))
+            sg = s0g + sl0 + jnp.arange(L, dtype=jnp.int32)
+            m = ((sg + 1) // b == f) & (sg < nsweeps)
+            c_off = jnp.clip(dpp * S - f, 0, ncmax_pad - CSEG)
+            curv = lax.dynamic_slice(ov, (sl0, c_off, jnp.int32(0)),
+                                     (L, CSEG, b))
+            curt = lax.dynamic_slice(ot, (sl0, c_off), (L, CSEG))
+            curv = curv + jnp.where(m[:, None, None], rows, 0)
+            curt = curt + jnp.where(m[:, None], rowst, 0)
+            ov = lax.dynamic_update_slice(ov, curv, (sl0, c_off, jnp.int32(0)))
+            ot = lax.dynamic_update_slice(ot, curt, (sl0, c_off))
+            return ov, ot
+
+        out_v, out_t = lax.fori_loop(0, nf, body, (out_v, out_t))
+    return out_v[:, :ncmax], out_t[:, :ncmax]
+
+
+@functools.partial(jax.jit, static_argnames=("n_eff", "b", "S", "K", "T",
+                                             "nrec", "chunk", "ncmax", "mesh"))
+def _stage2_pipelined(strips, *, n_eff, b, S, K, T, nrec, chunk, ncmax, mesh):
+    P_, Q_ = mesh.devices.shape
+    nsweeps = max(n_eff - 2, 1)
+    fn = jax.shard_map(
+        functools.partial(_stage2_pipe_shardfn, n_eff=n_eff, b=b, S=S, K=K,
+                          T=T, nrec=nrec, P_=P_, Q_=Q_),
+        mesh=mesh, in_specs=(P(),),
+        out_specs=(P(), P(), P(AXES, None, None), P(AXES, None)),
+        check_vma=False)
+    d, e, vs, taus = fn(strips)
+    rs = jax.shard_map(
+        functools.partial(_record_reshard_shardfn, nsweeps=nsweeps,
+                          chunk=chunk, S=S, b=b, P_=P_, Q_=Q_, ncmax=ncmax),
+        mesh=mesh, in_specs=(P(AXES, None, None), P(AXES, None)),
+        out_specs=(P(AXES, None, None), P(AXES, None)),
+        check_vma=False)
+    vs, taus = rs(vs, taus)
+    return d, e, vs, taus
+
+
+def band_to_tridiag_dist_pipelined(strips, n_eff: int, b: int, mesh):
+    """Compute-distributed stage 2 (see module comment above).  Same output
+    contract as :func:`band_to_tridiag_dist` (sweep-sharded vs/taus of global
+    leading dim D*ceil(nsweeps/D))."""
+    from .band_strips import wavefront_k, wavefront_nsteps
+
+    D = mesh.devices.size
+    ns = strips.shape[0]
+    S = -(-ns // D)
+    strips = jnp.pad(strips, ((0, D * S - ns), (0, 0), (0, 0)))
+    nsweeps = max(n_eff - 2, 1)
+    chunk = -(-nsweeps // D)
+    ncmax = -(-(n_eff - 1) // b)
+    return _stage2_pipelined(
+        strips, n_eff=n_eff, b=b, S=S, K=wavefront_k(S, b),
+        T=wavefront_nsteps(n_eff, b), nrec=D * chunk, chunk=chunk,
+        ncmax=ncmax, mesh=mesh)
 
 
 # ---------------------------------------------------------------------------

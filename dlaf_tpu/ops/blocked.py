@@ -292,7 +292,20 @@ def _herk_inplace(c, o, s, a, *, lower, trans, alpha, beta, nb):
             g = mm(blk(co - o + s1, s - s1), blk(co - o, s1), ta=ta, tb=tb)
             return c.at[co + s1:co + s, co:co + s1].set(
                 beta * c[co + s1:co + s, co:co + s1] + alpha * g)
-        g = mm(blk(co - o, s1), blk(co - o + s1, s - s1), ta=ta, tb=tb)
+        x = blk(co - o, s1)
+        y = blk(co - o + s1, s - s1)
+        if trans == "C" and isinstance(alpha, (int, float)) and \
+                isinstance(beta, (int, float)) and \
+                alpha == -1.0 and beta == 1.0:
+            # upper-POTRF hot path: optionally fuse product + subtract in one
+            # VMEM-accumulated Pallas kernel (tune.potrf_trailing_kernel)
+            from ..tune import get_tune_parameters
+            if get_tune_parameters().potrf_trailing_kernel == "pallas":
+                from .pallas.trailing import ksub_available, ksub_matmul
+                if ksub_available(c[co:co + s1, co + s1:co + s], x, y):
+                    return c.at[co:co + s1, co + s1:co + s].set(
+                        ksub_matmul(c[co:co + s1, co + s1:co + s], x, y))
+        g = mm(x, y, ta=ta, tb=tb)
         return c.at[co:co + s1, co + s1:co + s].set(
             beta * c[co:co + s1, co + s1:co + s] + alpha * g)
 

@@ -49,6 +49,17 @@ class TuneParameters:
     # batched dense pipelined kernel on CPU, and the sequential strip kernel
     # for f64-emulation/complex; "strips"/"pipelined"/"sequential" force one
     band_to_tridiag_kernel: str = "auto"
+    # trailing-update kernel for the (upper) POTRF hot loop: "xla" (dot +
+    # subtract, fused by XLA) or "pallas" (ops/pallas/trailing.py: one
+    # VMEM accumulator for the three bf16 passes AND the C-subtract)
+    potrf_trailing_kernel: str = "xla"
+    # distributed stage-2 mode: "replicated" chases the whole O(n*b) band on
+    # every device (lowest constant per chase: Pallas DMA kernel on the
+    # chip); "pipelined" distributes the chase compute itself across devices
+    # (wavefront schedule + 2-strip halo handoff over ICI, the reference's
+    # SweepWorkerDist analog, band_to_tridiag/mc.h:568-661) — ~D/2x less
+    # chase work per device, the right mode once stage 2 dominates at scale
+    band_to_tridiag_dist_mode: str = "replicated"
     # matmul precision for f32 inputs: "default" (bf16 1-pass), "float32"
     # (bf16_3x) or "highest" (bf16_6x); LAPACK-grade residuals need >= float32
     matmul_precision: str = "float32"

@@ -46,3 +46,50 @@ def test_trsm_tile_inverted_block(left, lower, trans):
     opa = an.T if trans == "T" else an
     lhs = opa @ x if left else x @ opa
     assert np.max(np.abs(lhs - np.asarray(b))) < 1e-9
+
+
+@pytest.mark.parametrize("shape", [(128, 128, 128), (256, 384, 512),
+                                   (512, 256, 1024)])
+def test_ksub_matmul(shape):
+    """Fused trailing update C - X^T Y (ops/pallas/trailing.py) vs the
+    reference formula at f32 accuracy (bf16_3x both sides)."""
+    from dlaf_tpu.ops.pallas.trailing import ksub_matmul
+
+    m, n, k = shape
+    rng = np.random.default_rng(m + n + k)
+    c = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((k, m)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
+    out = np.asarray(ksub_matmul(c, x, y, interpret=True))
+    want = np.asarray(c) - np.asarray(x).T.astype(np.float64) @ \
+        np.asarray(y).astype(np.float64)
+    # bf16_3x error bound: ~k * eps_f32 relative
+    bound = 32 * np.sqrt(k) * np.finfo(np.float32).eps * \
+        np.abs(np.asarray(x)).max() * np.abs(np.asarray(y)).max() * np.sqrt(k)
+    assert np.abs(out - want).max() <= bound, np.abs(out - want).max()
+
+
+def test_potrf_upper_pallas_trailing_knob():
+    """potrf_upper with the fused trailing kernel (interpret on CPU) matches
+    the XLA path bit-for... numerically."""
+    from dlaf_tpu.ops import blocked
+    from dlaf_tpu.tune import get_tune_parameters, set_tune_parameters
+    import dlaf_tpu.ops.pallas.trailing as tr
+
+    n, nb = 256, 128
+    rng = np.random.default_rng(5)
+    g = rng.standard_normal((n, n)).astype(np.float32)
+    a = jnp.asarray(g @ g.T + n * np.eye(n, dtype=np.float32))
+    u0 = np.asarray(blocked.potrf_upper(a, nb))
+    import functools
+    old = get_tune_parameters().potrf_trailing_kernel
+    orig_avail, orig_mm = tr.ksub_available, tr.ksub_matmul
+    tr.ksub_available = lambda *a_, **k_: True
+    tr.ksub_matmul = functools.partial(orig_mm, interpret=True)
+    set_tune_parameters(potrf_trailing_kernel="pallas")
+    try:
+        u1 = np.asarray(blocked.potrf_upper(a, nb))
+    finally:
+        set_tune_parameters(potrf_trailing_kernel=old)
+        tr.ksub_available, tr.ksub_matmul = orig_avail, orig_mm
+    assert np.abs(u1 - u0).max() <= 1e-3 * np.abs(u0).max()
