@@ -161,6 +161,26 @@ def main():
         del w, v, wn, vn, an, ab
     except Exception as exc:  # noqa: BLE001 - report, don't fail the bench
         heev_big = {"error": repr(exc)[:300]}
+    # hardware kernel smoke: the Pallas tile kernels on the real chip
+    # (the TPU pytest lane's core checks, wired into the driver flow)
+    try:
+        from dlaf_tpu.ops.pallas.potrf import potrf_tile
+        from dlaf_tpu.ops.pallas.trailing import ksub_matmul
+        ts_ = gen.random_hermitian_positive_definite(
+            jax.random.PRNGKey(9), 256, jnp.float32)
+        u_ = potrf_tile(ts_, upper=True)
+        r_pot = float(jnp.max(jnp.abs(jnp.triu(u_).T @ jnp.triu(u_) - ts_)))
+        cx = jax.random.normal(jax.random.PRNGKey(10), (256, 256), jnp.float32)
+        xx = jax.random.normal(jax.random.PRNGKey(11), (512, 256), jnp.float32)
+        yy = jax.random.normal(jax.random.PRNGKey(12), (512, 256), jnp.float32)
+        r_ks = float(jnp.max(jnp.abs(
+            ksub_matmul(cx, xx, yy) -
+            (cx - jnp.matmul(xx.T, yy, precision="float32")))))
+        smoke = {"potrf_tile_res": r_pot, "ksub_res": r_ks,
+                 "pass": bool(r_pot < 1e-2 and r_ks < 1e-2)}
+    except Exception as exc:  # noqa: BLE001
+        smoke = {"error": repr(exc)[:200], "pass": False}
+
     line = {
         "metric": f"potrf_f32_n{n}_tflops",
         "value": round(tflops, 2),
@@ -173,7 +193,8 @@ def main():
         json.dump({"potrf_tflops": round(tflops, 2),
                    "gemm_ceiling_tflops": round(peak, 2),
                    "heev": heev,
-                   "heev_32768": heev_big}, f, indent=1)
+                   "heev_32768": heev_big,
+                   "tpu_kernel_smoke": smoke}, f, indent=1)
     print(json.dumps(line))
 
 
