@@ -1,0 +1,87 @@
+"""Python half of the C API (see dlaf_tpu_c.h / dlaf_c_api.cpp).
+
+The embedded interpreter calls these with raw buffer addresses; all numpy
+buffer wrapping happens here so the C shim stays a thin dispatcher
+(reference split: src/c_api/*.cpp over the C++ library).
+
+Caller buffers are ScaLAPACK-style column-major with leading dimension
+lld = desca[8]; they are wrapped zero-copy with an order='F' reshape and
+results are copied back through the same view.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import re
+
+import numpy as np
+
+
+def _ensure_platform():
+    """Honor JAX_PLATFORMS=cpu through the config route: the environment's
+    sitecustomize registers the TPU plugin with an explicit config override,
+    so the env var alone is ignored (same dance as miniapps/options.py)."""
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() != "cpu":
+        return
+    import jax
+    m = re.search(r"--xla_force_host_platform_device_count=(\d+)",
+                  os.environ.get("XLA_FLAGS", ""))
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", int(m.group(1)) if m else 1)
+        if os.environ.get("JAX_ENABLE_X64", "").strip() in ("1", "true"):
+            jax.config.update("jax_enable_x64", True)
+        if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            jax.config.update("jax_compilation_cache_dir",
+                              os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except RuntimeError:
+        pass  # backend already live
+
+
+_ensure_platform()
+
+
+def _wrap(ptr: int, count: int, dtype) -> np.ndarray:
+    buf = (ctypes.c_char * (count * np.dtype(dtype).itemsize)).from_address(ptr)
+    return np.frombuffer(buf, dtype=dtype)
+
+
+def _global_view(aptr: int, desca, dtype) -> np.ndarray:
+    m, n, lld = desca[2], desca[3], desca[8]
+    flat = _wrap(aptr, lld * n, dtype)
+    return flat.reshape((lld, n), order="F")[:m, :]
+
+
+def c_create_grid(nprow: int, npcol: int) -> int:
+    from ..api import scalapack as s
+    return s.dlaf_create_grid(nprow, npcol)
+
+
+def c_free_grid(ctx: int) -> int:
+    from ..api import scalapack as s
+    s.dlaf_free_grid(ctx)
+    return 0
+
+
+def c_ppotrf(uplo: str, n: int, aptr: int, ia: int, ja: int, desca, ctx: int,
+             dt: str) -> int:
+    from ..api import scalapack as s
+    a = _global_view(aptr, desca, np.dtype(dt))
+    fn = {"float32": s.dlaf_pspotrf, "float64": s.dlaf_pdpotrf}[dt]
+    out = fn(uplo, n, np.ascontiguousarray(a), ia, ja, list(desca), ctx)
+    np.copyto(a, out)
+    return 0
+
+
+def c_psyevd(uplo: str, n: int, aptr: int, desca, wptr: int, zptr: int,
+             ctx: int, dt: str) -> int:
+    from ..api import scalapack as s
+    dtype = np.dtype(dt)
+    a = _global_view(aptr, desca, dtype)
+    fn = {"float32": s.dlaf_pssyevd, "float64": s.dlaf_pdsyevd}[dt]
+    w, z = fn(uplo, n, np.ascontiguousarray(a), 1, 1, list(desca), ctx)
+    np.copyto(_wrap(wptr, n, dtype), np.asarray(w, dtype))
+    zv = _wrap(zptr, desca[8] * n, dtype).reshape((desca[8], n),
+                                                 order="F")[:n, :]
+    np.copyto(zv, np.asarray(z, dtype))
+    return 0
