@@ -245,6 +245,8 @@ dlaf_pcpotrf = _scalapack_entry(dlaf_cholesky_factorization, np.complex64)
 dlaf_pzpotrf = _scalapack_entry(dlaf_cholesky_factorization, np.complex128)
 dlaf_pssyevd = _scalapack_entry(dlaf_symmetric_eigensolver, np.float32)
 dlaf_pdsyevd = _scalapack_entry(dlaf_symmetric_eigensolver, np.float64)
+dlaf_pcheevd = _scalapack_entry(dlaf_hermitian_eigensolver, np.complex64)
+dlaf_pzheevd = _scalapack_entry(dlaf_hermitian_eigensolver, np.complex128)
 
 
 def _sygvd_entry(dtype, factorized=False):
@@ -282,5 +284,9 @@ def _sygvd_entry(dtype, factorized=False):
 
 dlaf_pssygvd = _sygvd_entry(np.float32)
 dlaf_pdsygvd = _sygvd_entry(np.float64)
+dlaf_pchegvd = _sygvd_entry(np.complex64)
+dlaf_pzhegvd = _sygvd_entry(np.complex128)
 dlaf_pssygvd_factorized = _sygvd_entry(np.float32, factorized=True)
 dlaf_pdsygvd_factorized = _sygvd_entry(np.float64, factorized=True)
+dlaf_pchegvd_factorized = _sygvd_entry(np.complex64, factorized=True)
+dlaf_pzhegvd_factorized = _sygvd_entry(np.complex128, factorized=True)

@@ -67,7 +67,8 @@ def c_ppotrf(uplo: str, n: int, aptr: int, ia: int, ja: int, desca, ctx: int,
              dt: str) -> int:
     from ..api import scalapack as s
     a = _global_view(aptr, desca, np.dtype(dt))
-    fn = {"float32": s.dlaf_pspotrf, "float64": s.dlaf_pdpotrf}[dt]
+    fn = {"float32": s.dlaf_pspotrf, "float64": s.dlaf_pdpotrf,
+          "complex64": s.dlaf_pcpotrf, "complex128": s.dlaf_pzpotrf}[dt]
     out = fn(uplo, n, np.ascontiguousarray(a), ia, ja, list(desca), ctx)
     np.copyto(a, out)
     return 0
@@ -77,10 +78,13 @@ def c_psyevd(uplo: str, n: int, aptr: int, desca, wptr: int, zptr: int,
              ctx: int, dt: str) -> int:
     from ..api import scalapack as s
     dtype = np.dtype(dt)
+    wdtype = np.dtype({"complex64": "float32",
+                       "complex128": "float64"}.get(dt, dt))
     a = _global_view(aptr, desca, dtype)
-    fn = {"float32": s.dlaf_pssyevd, "float64": s.dlaf_pdsyevd}[dt]
+    fn = {"float32": s.dlaf_pssyevd, "float64": s.dlaf_pdsyevd,
+          "complex64": s.dlaf_pcheevd, "complex128": s.dlaf_pzheevd}[dt]
     w, z = fn(uplo, n, np.ascontiguousarray(a), 1, 1, list(desca), ctx)
-    np.copyto(_wrap(wptr, n, dtype), np.asarray(w, dtype))
+    np.copyto(_wrap(wptr, n, wdtype), np.asarray(w, wdtype))
     zv = _wrap(zptr, desca[8] * n, dtype).reshape((desca[8], n),
                                                  order="F")[:n, :]
     np.copyto(zv, np.asarray(z, dtype))

@@ -137,6 +137,16 @@ int dlaf_pdpotrf(char uplo, int n, double* a, int ia, int ja,
   return ppotrf(uplo, n, a, ia, ja, desca, ctx, "float64");
 }
 
+int dlaf_pcpotrf(char uplo, int n, void* a, int ia, int ja, const int* desca,
+                 int ctx) {
+  return ppotrf(uplo, n, a, ia, ja, desca, ctx, "complex64");
+}
+
+int dlaf_pzpotrf(char uplo, int n, void* a, int ia, int ja, const int* desca,
+                 int ctx) {
+  return ppotrf(uplo, n, a, ia, ja, desca, ctx, "complex128");
+}
+
 static int psyevd(char uplo, int n, void* a, const int* desca, void* w,
                   void* z, int ctx, const char* dt) {
   PyGILState_STATE g = PyGILState_Ensure();
@@ -158,6 +168,16 @@ int dlaf_pssyevd(char uplo, int n, float* a, const int* desca, float* w,
 int dlaf_pdsyevd(char uplo, int n, double* a, const int* desca, double* w,
                  double* z, int ctx) {
   return psyevd(uplo, n, a, desca, w, z, ctx, "float64");
+}
+
+int dlaf_pcheevd(char uplo, int n, void* a, const int* desca, float* w,
+                 void* z, int ctx) {
+  return psyevd(uplo, n, a, desca, w, z, ctx, "complex64");
+}
+
+int dlaf_pzheevd(char uplo, int n, void* a, const int* desca, double* w,
+                 void* z, int ctx) {
+  return psyevd(uplo, n, a, desca, w, z, ctx, "complex128");
 }
 
 }  // extern "C"

@@ -38,6 +38,12 @@ int dlaf_pspotrf(char uplo, int n, float* a, int ia, int ja,
                  const int* desca, int ctx);
 int dlaf_pdpotrf(char uplo, int n, double* a, int ia, int ja,
                  const int* desca, int ctx);
+/* complex variants: a points to interleaved (re, im) pairs
+ * (C99 float/double _Complex or Fortran COMPLEX layout) */
+int dlaf_pcpotrf(char uplo, int n, void* a, int ia, int ja,
+                 const int* desca, int ctx);
+int dlaf_pzpotrf(char uplo, int n, void* a, int ia, int ja,
+                 const int* desca, int ctx);
 
 /* Symmetric eigensolver: eigenvalues into w (n), eigenvectors into z
  * (n x n column-major). (reference dlaf_pssyevd/pdsyevd) */
@@ -45,6 +51,11 @@ int dlaf_pssyevd(char uplo, int n, float* a, const int* desca,
                  float* w, float* z, int ctx);
 int dlaf_pdsyevd(char uplo, int n, double* a, const int* desca,
                  double* w, double* z, int ctx);
+/* hermitian: complex a/z, REAL eigenvalues w (float/double) */
+int dlaf_pcheevd(char uplo, int n, void* a, const int* desca,
+                 float* w, void* z, int ctx);
+int dlaf_pzheevd(char uplo, int n, void* a, const int* desca,
+                 double* w, void* z, int ctx);
 
 #ifdef __cplusplus
 }

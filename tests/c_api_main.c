@@ -73,6 +73,45 @@ int main(void) {
   for (i = 1; i < N; ++i)
     if (w[i] < w[i - 1]) return 7; /* ascending eigenvalues */
 
+  /* complex (z) hermitian eigensolver through the same shim: interleaved
+   * (re, im) doubles, hermitian by construction */
+  {
+    static double h[2 * N * N], wz[N], zz[2 * N * N];
+    for (j = 0; j < N; ++j)
+      for (i = 0; i < N; ++i) {
+        double re = AT(a0, i, j);
+        double im = (i > j) ? 0.25 * AT(g, i, j)
+                            : (i < j ? -0.25 * AT(g, j, i) : 0.0);
+        h[2 * ((size_t)j * N + i)] = re;
+        h[2 * ((size_t)j * N + i) + 1] = im;
+      }
+    if (dlaf_pzheevd('L', N, h, desca, wz, zz, ctx) != 0) return 8;
+    for (i = 1; i < N; ++i)
+      if (wz[i] < wz[i - 1]) return 9;
+    /* probe: ||H z_0 - w_0 z_0|| on column 0 (complex arithmetic) */
+    double rz = 0.0;
+    for (i = 0; i < N; ++i) {
+      double sre = 0.0, sim = 0.0;
+      for (k = 0; k < N; ++k) {
+        double hre = h[2 * ((size_t)k * N + i)];
+        double him = h[2 * ((size_t)k * N + i) + 1];
+        double zre = zz[2 * ((size_t)0 * N + k)];
+        double zim = zz[2 * ((size_t)0 * N + k) + 1];
+        sre += hre * zre - him * zim;
+        sim += hre * zim + him * zre;
+      }
+      double dre = sre - wz[0] * zz[2 * (size_t)i];
+      double dim = sim - wz[0] * zz[2 * (size_t)i + 1];
+      double d = sqrt(dre * dre + dim * dim);
+      if (d > rz) rz = d;
+    }
+    if (rz > 1e-8 * N * N) {
+      fprintf(stderr, "zheevd residual %g\n", rz);
+      return 10;
+    }
+    printf("c_api: zheevd res %.2e\n", rz);
+  }
+
   dlaf_free_grid(ctx);
   printf("c_api: potrf res %.2e, syevd res %.2e OK\n", res, rese);
   return 0;

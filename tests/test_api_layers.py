@@ -167,3 +167,28 @@ def test_matrix_file(tmp_path):
     np.testing.assert_array_equal(f.read("evals"), w)
     f.write(**{"/evecs": a})  # append keeps old datasets
     assert set(f.read_all()) == {"input", "evals", "evecs"}
+
+
+def test_pzheevd_and_pchegvd():
+    """Complex ScaLAPACK entries (reference dlaf_pcheevd/pzheevd,
+    pchegvd/pzhegvd typed surface, include/dlaf_c/eigensolver/)."""
+    n = 48
+    a = np.asarray(gen.random_hermitian(jax.random.PRNGKey(3), n,
+                                        np.complex128))
+    b = np.asarray(gen.random_hermitian_positive_definite(
+        jax.random.PRNGKey(4), n, np.complex128))
+    ctx = sl.dlaf_create_grid(2, 2)
+    import dlaf_tpu
+    dlaf_tpu.set_tune_parameters(eigensolver_min_band=8, default_block_size=16)
+    try:
+        desc = sl.DLAF_descriptor(m=n, n=n, mb=16, nb=16)
+        w, z = sl.dlaf_pzheevd("L", n, a, 1, 1, desc, ctx)
+        assert w.dtype.kind == "f"
+        np.testing.assert_allclose(a @ z, z * w[None, :], atol=1e-9)
+        np.testing.assert_allclose(z.conj().T @ z, np.eye(n), atol=1e-9)
+        wg, x = sl.dlaf_pzhegvd("L", n, a, b, 1, 1, desc, ctx)
+        np.testing.assert_allclose(a @ x, b @ x * wg[None, :], atol=1e-8)
+        np.testing.assert_allclose(x.conj().T @ b @ x, np.eye(n), atol=1e-8)
+    finally:
+        dlaf_tpu.tune.reset_tune_parameters()
+        sl.dlaf_free_grid(ctx)
