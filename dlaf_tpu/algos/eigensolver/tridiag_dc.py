@@ -33,11 +33,11 @@ from jax import lax
 from ...ops.core import matmul_precision
 
 LEAF = 32
-# convergence-checked sweep loop: typical tridiagonal leaves converge in
-# 5-8 cyclic sweeps (quadratic convergence); the cap only bounds
-# pathological clustering. The old fixed count (10) neither stopped early
-# nor guarded slow cases.
-JACOBI_MIN_SWEEPS = 4
+# sweep budget: MIN is the fixed floor (sufficient for well-behaved
+# leaves); the convergence check in _jacobi_eigh only EXTENDS the loop
+# toward MAX while the off-diagonal mass is still far above its initial
+# level (pathological clustering — the case a fixed count under-serves)
+JACOBI_MIN_SWEEPS = 10
 JACOBI_MAX_SWEEPS = 30
 
 
@@ -123,20 +123,29 @@ def _jacobi_eigh(a):
     pqs = jnp.array([(p, q) for p in range(n - 1) for q in range(p + 1, n)],
                     dtype=jnp.int32)
 
+    offmask = (1.0 - jnp.eye(n)).astype(dt)
+
+    def off_norm_sq(a):
+        # masked, cancellation-free: sum(a^2) - sum(diag^2) reads 0 under
+        # the huge D&C padding diagonal long before the off mass is gone
+        m = a * offmask
+        return jnp.sum(m * m)
+
+    # Convergence policy: JACOBI_MIN_SWEEPS is the proven-sufficient budget
+    # for well-behaved leaves (quadratic convergence lands at the rounding
+    # floor by sweep ~6-7); the check only EXTENDS the loop — up to
+    # JACOBI_MAX_SWEEPS — while the off-diagonal mass is still far above
+    # its starting level's rounding floor (pathologically clustered
+    # spectra, the case a fixed count silently under-served). The
+    # threshold is relative to the INITIAL off mass, so it is scale-free
+    # and immune to the huge decoupled padding diagonal.
     eps = jnp.finfo(dt).eps
-    offmask = 1.0 - jnp.eye(n, dtype=dt)
+    off_tol = (8 * eps) ** 2 * off_norm_sq(a)
 
     def cond(carry):
         a, _, it = carry
-        # classical relative Jacobi criterion (LAPACK gesvj-style): stop
-        # when every |a_ij| <= eps * sqrt(|a_ii a_jj|); a global Frobenius
-        # threshold stops too early on leaves with small diagonal entries
-        # (observed: 14x residual loss through the D&C merges)
-        d_ = jnp.diagonal(a)
-        thr = eps * jnp.sqrt(jnp.abs(d_[:, None] * d_[None, :]))
-        unconverged = jnp.any(jnp.abs(a) * offmask > thr)
         return (it < JACOBI_MAX_SWEEPS) & \
-            ((it < JACOBI_MIN_SWEEPS) | unconverged)
+            ((it < JACOBI_MIN_SWEEPS) | (off_norm_sq(a) > off_tol))
 
     def sweep(carry):
         a, v, it = carry

@@ -70,6 +70,12 @@ def c_ppotrf(uplo: str, n: int, aptr: int, ia: int, ja: int, desca, ctx: int,
     fn = {"float32": s.dlaf_pspotrf, "float64": s.dlaf_pdpotrf,
           "complex64": s.dlaf_pcpotrf, "complex128": s.dlaf_pzpotrf}[dt]
     out = fn(uplo, n, np.ascontiguousarray(a), ia, ja, list(desca), ctx)
+    # LAPACK-style info: first non-finite diagonal entry of the factor
+    # marks the non-SPD leading minor (header contract, dlaf_tpu_c.h)
+    diag = np.diagonal(out)[ia - 1:ia - 1 + n]
+    bad = ~np.isfinite(diag)
+    if bad.any():
+        return int(np.argmax(bad)) + 1
     np.copyto(a, out)
     return 0
 
@@ -85,7 +91,8 @@ def c_psyevd(uplo: str, n: int, aptr: int, desca, wptr: int, zptr: int,
           "complex64": s.dlaf_pcheevd, "complex128": s.dlaf_pzheevd}[dt]
     w, z = fn(uplo, n, np.ascontiguousarray(a), 1, 1, list(desca), ctx)
     np.copyto(_wrap(wptr, n, wdtype), np.asarray(w, wdtype))
-    zv = _wrap(zptr, desca[8] * n, dtype).reshape((desca[8], n),
-                                                 order="F")[:n, :]
+    # z is a compact n x n column-major buffer per the header contract
+    # (NOT lld-strided like a — writing with desca's lld would overrun it)
+    zv = _wrap(zptr, n * n, dtype).reshape((n, n), order="F")
     np.copyto(zv, np.asarray(z, dtype))
     return 0

@@ -77,7 +77,20 @@ int call_int(const char* fn, PyObject* args) {
 extern "C" {
 
 int dlaf_initialize(void) {
-  if (Py_IsInitialized()) return 0;
+  if (Py_IsInitialized()) {
+    // embedding host already runs Python (or we are dlopen'ed from a
+    // Python process): still make the package importable and warm it
+    PyGILState_STATE g = PyGILState_Ensure();
+    std::string root = repo_root();
+    std::string code =
+        "import sys\n(sys.path.insert(0, '" + root +
+        "') if '" + root + "' not in sys.path else None)\n";
+    int rc = PyRun_SimpleString(code.c_str());
+    PyObject* mod = rc == 0 ? entry_module() : nullptr;
+    Py_XDECREF(mod);
+    PyGILState_Release(g);
+    return (rc == 0 && mod) ? 0 : -1;
+  }
   Py_InitializeEx(0);
   if (!Py_IsInitialized()) return -1;
   g_we_initialized = true;

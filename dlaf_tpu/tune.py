@@ -91,18 +91,42 @@ def get_tune_parameters() -> TuneParameters:
     """Singleton accessor (reference ``getTuneParameters()``)."""
     global _params
     if _params is None:
-        _params = _from_env(TuneParameters())
+        _params = _validate(_from_env(TuneParameters()))
     return _params
 
 
+# string-valued knobs with a closed set of values: a typo must error, not
+# silently select the default dispatch branch
+_CHOICES = {
+    "band_to_tridiag_kernel": {"auto", "strips", "pipelined", "sequential",
+                               "pallas"},
+    "band_to_tridiag_dist_mode": {"replicated", "pipelined"},
+    "potrf_trailing_kernel": {"xla", "pallas"},
+    "matmul_precision": {"default", "float32", "highest", "high"},
+}
+
+
+def _validate(params: TuneParameters) -> TuneParameters:
+    for name, allowed in _CHOICES.items():
+        v = getattr(params, name)
+        if v not in allowed:
+            raise ValueError(f"tune parameter {name}={v!r}: "
+                             f"expected one of {sorted(allowed)}")
+    return params
+
+
 def set_tune_parameters(**overrides) -> TuneParameters:
-    """Apply explicit overrides on top of the defaults+env chain."""
+    """Apply explicit overrides INCREMENTALLY on top of the current
+    parameters (defaults < env < accumulated explicit overrides — the
+    reference mutates its config singleton the same way,
+    ``src/init.cpp:111-180``); use :func:`reset_tune_parameters` to drop
+    all explicit overrides."""
     global _params
-    base = _from_env(TuneParameters())
+    base = get_tune_parameters()
     unknown = set(overrides) - {f.name for f in dataclasses.fields(TuneParameters)}
     if unknown:
         raise ValueError(f"unknown tune parameters: {sorted(unknown)}")
-    _params = dataclasses.replace(base, **overrides)
+    _params = _validate(dataclasses.replace(base, **overrides))
     return _params
 
 

@@ -66,14 +66,10 @@ def _time(fn, reps=3):
     return min(ts)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--base-n", type=int, default=2048)
-    ap.add_argument("--nb", type=int, default=256)
-    ap.add_argument("--mode", choices=["weak", "strong"], default="weak")
-    args = ap.parse_args()
-    nb = args.nb
+def _sweep(args, algo):
+    from dlaf_tpu.algos.eigensolver.dist_driver import eigh_dist
 
+    nb = args.nb
     points = []
     for (pr, pc) in MESHES:
         d = pr * pc
@@ -83,28 +79,49 @@ def main():
         else:
             n = args.base_n
         grid = Grid((pr, pc), devices=jax.devices()[:d])
-        a = gen.random_hermitian_positive_definite(
-            jax.random.PRNGKey(0), n, jnp.float32)
-        dm = DistMatrix.from_global(a, nb, grid)
-        t = _time(lambda: cholesky(dm))
-        flops = n**3 / 3
+        if algo == "potrf":
+            a = gen.random_hermitian_positive_definite(
+                jax.random.PRNGKey(0), n, jnp.float32)
+            dm = DistMatrix.from_global(a, nb, grid)
+            t = _time(lambda: cholesky(dm))
+            flops = n**3 / 3
+        else:
+            a = gen.random_hermitian(jax.random.PRNGKey(0), n, jnp.float32)
+            dm = DistMatrix.from_global(a, nb, grid)
+            t = _time(lambda: eigh_dist(dm)[1])
+            flops = 10 * n**3 / 3      # ~red2band + chase + D&C + 2 BTs
         points.append({"grid": [pr, pc], "devices": d, "n": n,
                        "seconds": round(t, 4),
                        "gflops": round(flops / t / 1e9, 2)})
-        print(json.dumps(points[-1]), flush=True)
+        print(algo, json.dumps(points[-1]), flush=True)
 
     base_thru = points[0]["gflops"]
     for p in points:
         p["throughput_retention_vs_1dev"] = round(p["gflops"] / base_thru, 4)
+    return points
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base-n", type=int, default=2048)
+    ap.add_argument("--eigh-base-n", type=int, default=1024)
+    ap.add_argument("--nb", type=int, default=256)
+    ap.add_argument("--eigh-nb", type=int, default=256)
+    ap.add_argument("--mode", choices=["weak", "strong"], default="weak")
+    args = ap.parse_args()
+
+    points = _sweep(args, "potrf")
+    eargs = argparse.Namespace(**vars(args))
+    eargs.base_n, eargs.nb = args.eigh_base_n, args.eigh_nb
+    epoints = _sweep(eargs, "eigh")
 
     out = {
         "mode": args.mode,
-        "algorithm": "potrf_f32",
-        "nb": nb,
         "environment": "virtual CPU device mesh (XLA host platform) — "
                        "exercises the SPMD/collective program structure, "
                        "NOT ICI hardware throughput",
-        "points": points,
+        "potrf_f32": {"nb": args.nb, "points": points},
+        "eigh_f32": {"nb": eargs.nb, "points": epoints},
     }
     with open("/root/repo/WEAK_SCALING.json", "w") as f:
         json.dump(out, f, indent=1)

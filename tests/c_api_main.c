@@ -73,6 +73,31 @@ int main(void) {
   for (i = 1; i < N; ++i)
     if (w[i] < w[i - 1]) return 7; /* ascending eigenvalues */
 
+  /* lld > n (padded ScaLAPACK storage): same eigenvalues, and z must be
+   * written COMPACT n x n per the header contract (no lld striding) */
+  {
+    enum { LLD = N + 8 };
+    static double ap[(size_t)LLD * N], wp[N], zp[N * N];
+    int descp[9] = {1, 0, N, N, NB, NB, 0, 0, LLD};
+    for (j = 0; j < N; ++j)
+      for (i = 0; i < N; ++i) ap[(size_t)j * LLD + i] = AT(a0, i, j);
+    if (dlaf_pdsyevd('L', N, ap, descp, wp, zp, ctx) != 0) return 11;
+    for (i = 0; i < N; ++i)
+      if (fabs(wp[i] - w[i]) > 1e-9 * N) return 12;
+    /* z written compact: column 1 starts at zp[N], residual on col 1 */
+    double r1 = 0.0;
+    for (i = 0; i < N; ++i) {
+      double s = 0.0;
+      for (k = 0; k < N; ++k) s += AT(a0, i, k) * zp[(size_t)N + k];
+      double d = fabs(s - wp[1] * zp[(size_t)N + i]);
+      if (d > r1) r1 = d;
+    }
+    if (r1 > 1e-8 * N * N) {
+      fprintf(stderr, "lld>n syevd residual %g\n", r1);
+      return 13;
+    }
+  }
+
   /* complex (z) hermitian eigensolver through the same shim: interleaved
    * (re, im) doubles, hermitian by construction */
   {

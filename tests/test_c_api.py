@@ -14,11 +14,12 @@ NATIVE = os.path.join(ROOT, "dlaf_tpu", "native")
 
 @pytest.mark.skipif(shutil.which("gcc") is None, reason="no C compiler")
 def test_c_api_roundtrip(tmp_path):
-    lib = os.path.join(NATIVE, "libdlaf_tpu_c.so")
-    if not os.path.exists(lib):
-        r = subprocess.run(["make", "-C", NATIVE, "libdlaf_tpu_c.so"],
-                           capture_output=True, text=True, timeout=180)
-        assert r.returncode == 0, r.stderr[-2000:]
+    # always invoke make: its dependency tracking rebuilds the library when
+    # dlaf_c_api.cpp / dlaf_tpu_c.h changed (a stale committed .so must
+    # never be what gets tested)
+    r = subprocess.run(["make", "-C", NATIVE, "libdlaf_tpu_c.so"],
+                       capture_output=True, text=True, timeout=180)
+    assert r.returncode == 0, r.stderr[-2000:]
     exe = str(tmp_path / "c_api_main")
     r = subprocess.run(
         ["gcc", "-O2", os.path.join(ROOT, "tests", "c_api_main.c"),
