@@ -32,6 +32,10 @@ def parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--uplo", choices=["L", "U"], default="L")
     p.add_argument("--band-size", type=int, default=None)
     p.add_argument("--csv", action="store_true", default=True)
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="write a JAX profiler trace of the timed runs to "
+                        "DIR (view with tensorboard / xprof; the analog of "
+                        "the reference's per-run timing instrumentation)")
     return p
 
 
@@ -85,7 +89,11 @@ def run_timed(args, fn, flop_count, extra=(), check_fn=None):
     backend = jax.default_backend()
     assert args.nwarmups + args.nruns >= 1, "need at least one run"
     out = None
+    tracing = False
     for r in range(args.nwarmups + args.nruns):
+        if getattr(args, "trace", None) and r == args.nwarmups and not tracing:
+            jax.profiler.start_trace(args.trace)
+            tracing = True
         t0 = time.perf_counter()
         out = fn()
         sync(out)
@@ -103,6 +111,9 @@ def run_timed(args, fn, flop_count, extra=(), check_fn=None):
                    str(args.block_size), str(args.grid_rows),
                    str(args.grid_cols), "1", backend, *map(str, extra)]
             print(", ".join(row))
+    if tracing:
+        jax.profiler.stop_trace()
+        print(f"trace: {args.trace}")
     if args.check and check_fn is not None:
         ok, msg = check_fn(out)
         print(f"check: {'PASSED' if ok else 'FAILED'} ({msg})")
