@@ -249,12 +249,21 @@ def _stage2_pipe_shardfn(strips, *, n_eff, b, S, K, T, nrec, P_, Q_):
 
     def step(t, carry):
         loc, vs, taus = carry
-        halo = _shift_from_next(loc[:2], P_, Q_)
+        pre = loc[:2]
+        halo = _shift_from_next(pre, P_, Q_)
         ext = jnp.concatenate([loc, halo], axis=0)
         ext, vs, taus = chase_wavefront_step(
             ext, vs, taus, t, n=n_eff, b=b, S=S, seg0=seg0, K=K)
-        back = _shift_to_next(ext[S:] - halo, P_, Q_)
-        loc = ext[:S].at[:2].add(back)
+        # merge-back is an exact OVERWRITE, not an additive delta: with
+        # x + (y - x) != y in floating point, a delta merge injects eps
+        # noise at every handoff which amplifies through the reflector
+        # chain. Cells the left neighbor modified are exactly those whose
+        # returned value differs bitwise from what we sent it (concurrent
+        # windows are element-disjoint, so never both sides).
+        back = _shift_to_next(ext[S:], P_, Q_)
+        own = ext[:S]
+        changed = (back != pre) & (did > 0)
+        loc = own.at[:2].set(jnp.where(changed, back, own[:2]))
         return loc, vs, taus
 
     loc, vs, taus = lax.fori_loop(0, T, step, (loc, vs, taus))

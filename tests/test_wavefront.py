@@ -39,27 +39,31 @@ def test_wavefront_matches_sequential(n, b, dtype):
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
 
 
-@pytest.mark.parametrize("grid_size", [(2, 4), (2, 3), (1, 8), (8, 1), (1, 1)])
-def test_pipelined_dist_matches_sequential(grid_size):
+@pytest.mark.parametrize("grid_size,n,b", [
+    ((2, 4), 40, 3), ((2, 3), 40, 3), ((1, 8), 40, 3), ((8, 1), 40, 3),
+    ((1, 1), 40, 3),
+    # larger shape: catches handoff-merge rounding the tiny cases cannot
+    # (an additive delta merge only diverges once many handoffs compound)
+    ((2, 4), 256, 16), ((2, 3), 256, 16)])
+def test_pipelined_dist_matches_sequential(grid_size, n, b):
     """Compute-distributed (pipelined) stage 2 on the CPU mesh: identical
     (d, e) and sweep-sharded reflector record as the sequential kernel."""
     from dlaf_tpu.algos.eigensolver.dist_stage23 import (
         band_to_tridiag_dist_pipelined)
     from dlaf_tpu.comm.mesh import Grid
 
-    n, b = 40, 3
     a = _band_matrix(n, b, "float64", seed=3)
     strips = band_to_strips(a, b)
     d0, e0, vs0, t0 = band_to_tridiag_strips(strips, n, b)
     mesh = Grid(grid_size).mesh
     d1, e1, vs1, t1 = band_to_tridiag_dist_pipelined(strips, n, b, mesh)
-    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), atol=1e-13)
-    np.testing.assert_allclose(np.asarray(e1), np.asarray(e0), atol=1e-13)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e0))
     nsweeps = n - 2
     v1 = np.asarray(vs1)
     tt1 = np.asarray(t1)
-    np.testing.assert_allclose(v1[:nsweeps], np.asarray(vs0), atol=1e-13)
-    np.testing.assert_allclose(tt1[:nsweeps], np.asarray(t0), atol=1e-13)
+    np.testing.assert_array_equal(v1[:nsweeps], np.asarray(vs0))
+    np.testing.assert_array_equal(tt1[:nsweeps], np.asarray(t0))
     # padded sweeps are no-ops
     assert np.all(tt1[nsweeps:] == 0)
 
