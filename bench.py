@@ -78,6 +78,28 @@ def main():
     t_gemm = _time_donated(gemm_fn, lambda: mk_b(b), ovh)
     peak = 2 * ng**3 / t_gemm / 1e12
 
+    # trailing-kernel self-tuning: A/B the XLA dot+subtract vs the fused
+    # Pallas accumulator (ops/pallas/trailing.py) at n=8192 and keep the
+    # winner for the headline run
+    trailing = "xla"
+    try:
+        na = 8192
+        aa = gen.random_hermitian_positive_definite(jax.random.PRNGKey(4),
+                                                    na, jnp.float32)
+        mk = jax.jit(lambda x: x + 0.0)
+        ab_times = {}
+        for mode in ("xla", "pallas"):
+            dt.set_tune_parameters(potrf_trailing_kernel=mode)
+            fn = jax.jit(lambda x: dt.potrf(x, uplo="U", nb=512, clean=False),
+                         donate_argnums=0)
+            ab_times[mode] = _time_donated(fn, lambda: mk(aa), ovh, reps=2)
+        if ab_times["pallas"] < ab_times["xla"] * 0.995:
+            trailing = "pallas"
+        del aa
+    except Exception:  # noqa: BLE001 - keep the default on any failure
+        ab_times = {"error": True}
+    dt.set_tune_parameters(potrf_trailing_kernel=trailing)
+
     # POTRF (upper: the layout-native uplo on TPU, see ops/blocked.py)
     n, nb = 32768, 512
     a = gen.random_hermitian_positive_definite(jax.random.PRNGKey(0), n,
@@ -212,6 +234,10 @@ def main():
     with open("/root/repo/BENCH_EXTRA.json", "w") as f:
         json.dump({"potrf_tflops": round(tflops, 2),
                    "gemm_ceiling_tflops": round(peak, 2),
+                   "potrf_trailing_kernel": trailing,
+                   "trailing_ab_seconds": {k: (round(v, 4)
+                                               if isinstance(v, float) else v)
+                                           for k, v in ab_times.items()},
                    "heev": heev,
                    "heev_32768": heev_big,
                    "tpu_kernel_smoke": smoke}, f, indent=1)
