@@ -88,14 +88,21 @@ def main():
                                                     na, jnp.float32)
         mk = jax.jit(lambda x: x + 0.0)
         ab_times = {}
+        outs = {}
         for mode in ("xla", "pallas"):
             dt.set_tune_parameters(potrf_trailing_kernel=mode)
             fn = jax.jit(lambda x: dt.potrf(x, uplo="U", nb=512, clean=False),
                          donate_argnums=0)
             ab_times[mode] = _time_donated(fn, lambda: mk(aa), ovh, reps=2)
-        if ab_times["pallas"] < ab_times["xla"] * 0.995:
+            outs[mode] = fn(mk(aa))
+        # correctness gate before trusting the fused kernel on this chip
+        dev = float(jnp.max(jnp.abs(outs["pallas"] - outs["xla"])))
+        scale = float(jnp.max(jnp.abs(outs["xla"])))
+        ab_times["max_dev"] = dev
+        if ab_times["pallas"] < ab_times["xla"] * 0.995 and \
+                dev <= 1e-3 * max(scale, 1.0):
             trailing = "pallas"
-        del aa
+        del aa, outs
     except Exception:  # noqa: BLE001 - keep the default on any failure
         ab_times = {"error": True}
     dt.set_tune_parameters(potrf_trailing_kernel=trailing)
