@@ -114,3 +114,49 @@ def test_eigvalsh_dist():
         ref = np.linalg.eigvalsh(np.asarray(a))
         assert np.max(np.abs(w - ref)) <= 100 * n * eps(np.float64) * \
             max(np.max(np.abs(ref)), 1)
+
+
+@pytest.mark.parametrize("dtype", ["complex64", "complex128"])
+def test_dist_eigh_complex(dtype):
+    """Hermitian (complex) distributed eigensolver: the subdiagonal phase
+    normalization + complex back-transformations end-to-end on the mesh
+    (reference dispatches {c,z} through the same pipeline,
+    miniapp/include/dlaf/miniapp/dispatch.h:17-60)."""
+    dtype = np.dtype(dtype)
+    n, nb = 64, 16
+    a = gen.random_hermitian(jax.random.PRNGKey(7), n, dtype)
+    dm = DistMatrix.from_global(a, nb, Grid((2, 2)))
+    w, v = eigh_dist(dm)
+    w = np.asarray(w)
+    vg = np.asarray(v.to_global())
+    an = np.asarray(a)
+    ref = np.linalg.eigvalsh(an)
+    tol = 2000 * n * eps(dtype)
+    assert w.dtype.kind == "f"
+    assert np.max(np.abs(w - ref)) <= tol
+    assert np.max(np.abs(vg.conj().T @ vg - np.eye(n))) <= tol
+    assert np.max(np.abs(an @ vg - vg * w[None, :])) <= tol * np.abs(an).max()
+
+
+def test_dist_eigh_complex_pipelined():
+    """Complex + compute-distributed stage 2 (the pipelined chase supports
+    all dtypes, unlike the f32/c64-only Pallas kernel)."""
+    from dlaf_tpu.tune import get_tune_parameters, set_tune_parameters
+
+    dtype = np.dtype("complex128")
+    n, nb = 64, 16
+    a = gen.random_hermitian(jax.random.PRNGKey(8), n, dtype)
+    dm = DistMatrix.from_global(a, nb, Grid((2, 3)))
+    old = get_tune_parameters().band_to_tridiag_dist_mode
+    set_tune_parameters(band_to_tridiag_dist_mode="pipelined")
+    try:
+        w, v = eigh_dist(dm)
+    finally:
+        set_tune_parameters(band_to_tridiag_dist_mode=old)
+    w = np.asarray(w)
+    vg = np.asarray(v.to_global())
+    an = np.asarray(a)
+    ref = np.linalg.eigvalsh(an)
+    tol = 2000 * n * eps(dtype)
+    assert np.max(np.abs(w - ref)) <= tol
+    assert np.max(np.abs(an @ vg - vg * w[None, :])) <= tol * np.abs(an).max()
