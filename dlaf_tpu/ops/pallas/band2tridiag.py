@@ -140,15 +140,21 @@ def _make_kernel(*, n, b, nsweeps, ncmax, nlanes, tsteps, ns_total, depth,
                         strips_ref.at[p, s0 + g, :, pl.ds(a0, win)],
                         wsem.at[slot % nw_w, p, g]))
             # hh record stored as (P, nrec+1, ncmax*bpt, 128): 128-wide lane
-            # tiles so the sublane-dim size-1 dynamic slice stays legal for
-            # b > 128 (Mosaic rejects it when the minor dim spans >1 lane
-            # tile); bpt = bp // 128 consecutive rows per (sweep, chase)
+            # tiles, bpt = bp // 128 consecutive rows per (sweep, chase).
+            # One single-sublane DMA per row: Mosaic rejects BOTH a
+            # dynamic slice whose minor dim spans >1 lane tile (the old
+            # (1, bp) layout) AND a multi-sublane block at a dynamic
+            # unaligned sublane offset (a (bpt, 128) copy at c_idx*bpt —
+            # the b=256 tiling error); size-1 sublane slices at dynamic
+            # offsets are the one legal shape, so issue bpt of them.
             bpt = hh_s_ref.shape[2]
             for p in range(P):
-                cps.append(pltpu.make_async_copy(
-                    hh_s_ref.at[slot % nw_w, p],
-                    hh_ref.at[p, rec_row(s_idx), pl.ds(c_idx * bpt, bpt), :],
-                    hsem.at[slot % nw_w, p]))
+                for j in range(bpt):
+                    cps.append(pltpu.make_async_copy(
+                        hh_s_ref.at[slot % nw_w, p, pl.ds(j, 1), :],
+                        hh_ref.at[p, rec_row(s_idx),
+                                  pl.ds(c_idx * bpt + j, 1), :],
+                        hsem.at[slot % nw_w, p, j]))
             return cps
 
         def start(cps):
@@ -446,7 +452,7 @@ def band_to_tridiag_strips_pallas(strips, n: int, b: int, sweep_lo=0,
             pltpu.VMEM((nw_w, P, bpt, ALIGN), jnp.float32),
             pltpu.SemaphoreType.DMA((nw_r, P, 3)),
             pltpu.SemaphoreType.DMA((nw_w, P, 3)),
-            pltpu.SemaphoreType.DMA((nw_w, P)),
+            pltpu.SemaphoreType.DMA((nw_w, P, bpt)),
         ],
         input_output_aliases={0: 0, 1: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

@@ -53,6 +53,9 @@ def test_strips_kernel_matches_dense(dtype, n, b):
     (50, 8, np.dtype("complex64")),
     pytest.param(64, 8, np.dtype("float32"), marks=pytest.mark.slow),
     pytest.param(70, 16, np.dtype("complex64"), marks=pytest.mark.slow),
+    # b > 128 -> bpt = 2: the multi-row reflector record drain (the
+    # single-sublane-DMA-per-row path that unlocks band=256 on Mosaic)
+    pytest.param(200, 160, np.dtype("float32"), marks=pytest.mark.slow),
 ])
 def test_pallas_kernel_matches_dense_interpret(n, b, dtype):
     from jax.experimental.pallas import tpu as pltpu
