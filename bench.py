@@ -53,8 +53,16 @@ def _time_donated(fn, mk_input, ovh, reps=3):
 
 def main():
     sys.path.insert(0, "/root/repo")
+    import os
+
     import dlaf_tpu as dt
     from dlaf_tpu.matrix import generators as gen
+
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("DLAF_BENCH_BUDGET_S", "2400"))
+
+    def over_budget():
+        return time.perf_counter() - t_start > budget
 
     prec = "high"
     dt.set_tune_parameters(matmul_precision=prec)
@@ -130,7 +138,7 @@ def main():
     # at 256 (single-sublane record drains) and the gates still pass
     band_times = {}
     best_band = 128
-    for cand in (128, 256):
+    for cand in ((128, 256) if not over_budget() else (128,)):
         try:
             dt.set_tune_parameters(eigensolver_min_band=cand)
             w, v = eigh_fn(ah)
@@ -180,6 +188,8 @@ def main():
     # running stages 1-2 alone once)
     heev_big = None
     try:
+        if over_budget():
+            raise TimeoutError("bench wall budget exhausted")
         nb2 = 32768
         ab = gen.random_hermitian(jax.random.PRNGKey(3), nb2, jnp.float32)
         w, v = eigh_fn(ab)
@@ -221,6 +231,8 @@ def main():
                     "orth_probe": orth_b, "res_probe": res_b,
                     "residual_gates_pass": bool(gates_b)}
         del w, v, wn, vn, an, ab
+    except TimeoutError as exc:
+        heev_big = {"skipped": str(exc)}
     except Exception as exc:  # noqa: BLE001 - report, don't fail the bench
         # most likely HBM exhaustion (full EVP needs ~5 n^2 f32 buffers);
         # fall back to eigenvalues-only, which still runs stages 1-3
