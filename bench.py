@@ -131,16 +131,17 @@ def main():
     import numpy as np
     ne = 8192
     ah = gen.random_hermitian(jax.random.PRNGKey(2), ne, jnp.float32)
-    eigh_fn = jax.jit(lambda x: dt.eigh(x))
 
     # band self-tuning: stage 2 is iteration-bound (~n^2/b windows), so a
     # wider band is faster through the chase IF the Mosaic kernel compiles
-    # at 256 (single-sublane record drains) and the gates still pass
+    # at 256 (single-sublane record drains) and the gates still pass.
+    # NOTE: tune state is invisible to jit caching, so each candidate gets
+    # its own jit with the band passed explicitly.
     band_times = {}
     best_band = 128
     for cand in ((128, 256) if not over_budget() else (128,)):
         try:
-            dt.set_tune_parameters(eigensolver_min_band=cand)
+            eigh_fn = jax.jit(lambda x, b_=cand: dt.eigh(x, band=b_))
             w, v = eigh_fn(ah)
             _sync(v)
             t0 = time.perf_counter()
@@ -163,6 +164,7 @@ def main():
             band_times[256] < band_times[128]:
         best_band = 256
     dt.set_tune_parameters(eigensolver_min_band=best_band)
+    eigh_fn = jax.jit(lambda x, b_=best_band: dt.eigh(x, band=b_))
 
     w, v = eigh_fn(ah)
     _sync(v)
