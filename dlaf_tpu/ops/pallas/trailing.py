@@ -26,10 +26,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_DN = (((0,), (0,)), ((), ()))
+_DN_KM = (((0,), (0,)), ((), ()))   # X (k, m): contract axis 0 of both
+_DN_NN = (((1,), (0,)), ((), ()))   # X (m, k): plain NN
 
 
-def _ksub_kernel(c_ref, x_ref, y_ref, o_ref, acc_ref, *, nk):
+def _ksub_kernel(c_ref, x_ref, y_ref, o_ref, acc_ref, *, nk, dn):
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
@@ -42,9 +43,9 @@ def _ksub_kernel(c_ref, x_ref, y_ref, o_ref, acc_ref, *, nk):
     xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
     yh = y.astype(jnp.bfloat16)
     yl = (y - yh.astype(jnp.float32)).astype(jnp.bfloat16)
-    g = lax.dot_general(xh, yh, _DN, preferred_element_type=jnp.float32)
-    g = g + lax.dot_general(xl, yh, _DN, preferred_element_type=jnp.float32)
-    g = g + lax.dot_general(xh, yl, _DN, preferred_element_type=jnp.float32)
+    g = lax.dot_general(xh, yh, dn, preferred_element_type=jnp.float32)
+    g = g + lax.dot_general(xl, yh, dn, preferred_element_type=jnp.float32)
+    g = g + lax.dot_general(xh, yl, dn, preferred_element_type=jnp.float32)
     acc_ref[:] = acc_ref[:] - g
 
     @pl.when(kk == nk - 1)
@@ -61,23 +62,33 @@ def _fit(b: int, d: int) -> int:
     return b if b >= 128 and d % b == 0 else d
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret",
+                                             "x_k_major"))
 def ksub_matmul(c, x, y, bm: int = 256, bn: int = 256, bk: int = 512,
-                interpret: bool = False):
-    """C - X^T Y for f32 C (m, n), X (k, m), Y (k, n); all dims must divide
-    by the respective block sizes (caller falls back to XLA otherwise)."""
+                interpret: bool = False, x_k_major: bool = True):
+    """C - op(X) Y for f32 C (m, n), Y (k, n); X is (k, m) with
+    ``x_k_major`` (op = transpose — the upper-POTRF panel layout) or
+    (m, k) otherwise (plain NN — the distributed trailing-chunk layout).
+    All dims must divide by the fitted block sizes (caller falls back to
+    XLA otherwise)."""
     m, n = c.shape
-    k = x.shape[0]
+    k = x.shape[0] if x_k_major else x.shape[1]
     bm, bn, bk = _fit(bm, m), _fit(bn, n), _fit(bk, k)
     assert m % bm == 0 and n % bn == 0 and k % bk == 0, (m, n, k, bm, bn, bk)
     nk = k // bk
     grid = (m // bm, n // bn, nk)
+    if x_k_major:
+        xspec = pl.BlockSpec((bk, bm), lambda i, j, kk: (kk, i))
+        dn = _DN_KM
+    else:
+        xspec = pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk))
+        dn = _DN_NN
     return pl.pallas_call(
-        functools.partial(_ksub_kernel, nk=nk),
+        functools.partial(_ksub_kernel, nk=nk, dn=dn),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
-            pl.BlockSpec((bk, bm), lambda i, j, kk: (kk, i)),
+            xspec,
             pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),

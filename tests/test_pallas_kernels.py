@@ -93,3 +93,19 @@ def test_potrf_upper_pallas_trailing_knob():
         set_tune_parameters(potrf_trailing_kernel=old)
         tr.ksub_available, tr.ksub_matmul = orig_avail, orig_mm
     assert np.abs(u1 - u0).max() <= 1e-3 * np.abs(u0).max()
+
+
+def test_ksub_matmul_nn():
+    """NN variant (X (m, k)) of the fused trailing update."""
+    from dlaf_tpu.ops.pallas.trailing import ksub_matmul
+
+    m, n, k = 256, 256, 384
+    rng = np.random.default_rng(42)
+    c = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
+    out = np.asarray(ksub_matmul(c, x, y, interpret=True, x_k_major=False))
+    want = np.asarray(c) - np.asarray(x).astype(np.float64) @ \
+        np.asarray(y).astype(np.float64)
+    bound = 64 * k * np.finfo(np.float32).eps * 16
+    assert np.abs(out - want).max() <= bound, np.abs(out - want).max()
