@@ -31,13 +31,18 @@ def _batch(key, count, nb, dtype):
 def main(argv=None):
     p = argparse.ArgumentParser(prog="kernel_runner")
     p.add_argument("--kernel", choices=["potrf", "trsm", "gemm", "laset",
-                                        "lacpy", "add"], default="gemm")
+                                        "lacpy", "add", "ksub"],
+                   default="gemm")
     p.add_argument("--block-size", "-b", type=int, default=512)
     p.add_argument("--count", type=int, default=64, help="tiles per launch")
     p.add_argument("--nruns", type=int, default=3)
     p.add_argument("--nwarmups", type=int, default=1)
     p.add_argument("--type", choices=["s", "d"], default="s")
     args = p.parse_args(argv)
+
+    # honor JAX_PLATFORMS=cpu via the config route (see options.py)
+    import types
+    options._ensure_platform(types.SimpleNamespace(grid_rows=1, grid_cols=1))
 
     nb, count = args.block_size, args.count
     dtype = jnp.float64 if args.type == "d" else jnp.float32
@@ -61,6 +66,17 @@ def main(argv=None):
         "add": (jax.vmap(lambda a, b: set_tri(b, b + 0.5 * a, True)),
                 (tiles, spd), 0),
     }
+    if args.kernel == "ksub":
+        # fused trailing update C - X^T Y (ops/pallas/trailing.py); one
+        # launch per "tile" batch, k = 4*nb accumulation depth
+        from ..ops.pallas.trailing import ksub_matmul
+        cmat = tiles[0]
+        xk = jax.random.normal(key, (4 * nb, nb), dtype)
+        yk = jax.random.normal(key, (4 * nb, nb), dtype)
+        interp = jax.default_backend() not in ("tpu", "axon")
+        kernels["ksub"] = (lambda c, x, y: ksub_matmul(c, x, y,
+                                                       interpret=interp),
+                           (cmat, xk, yk), 2 * nb * nb * 4 * nb / count)
     fn, fargs, flops = kernels[args.kernel]
     jfn = jax.jit(fn)
 
