@@ -33,9 +33,11 @@ _NEXT_CTX = [1]
 
 
 def dlaf_create_grid(grid_rows: int, grid_cols: int, order: str = "R") -> int:
-    """Create a device grid, return an integer context handle."""
+    """Create a device grid, return an integer context handle. ``order``
+    is the device->(p, q) rank ordering, "R"ow or "C"olumn major
+    (reference ``dlaf_create_grid``, ``include/dlaf_c/grid.h:31``)."""
     assert order in ("R", "C")
-    g = Grid((grid_rows, grid_cols))
+    g = Grid((grid_rows, grid_cols), order=order)
     ctx = _NEXT_CTX[0]
     _NEXT_CTX[0] += 1
     _GRIDS[ctx] = g

@@ -24,7 +24,13 @@ class Grid:
     """Device grid of shape (P, Q) built over the available devices."""
 
     def __init__(self, grid_size: Optional[Tuple[int, int]] = None,
-                 devices: Optional[Sequence] = None):
+                 devices: Optional[Sequence] = None, order: str = "R"):
+        """``order`` is the device->(p, q) assignment: "R" lays device k at
+        (k // Q, k % Q), "C" at (k % P, k // P) — the reference
+        ``dlaf_create_grid`` row/column-major rank orderings
+        (``include/dlaf_c/grid.h:31``, ``src/c_api/grid.cpp``)."""
+        if order not in ("R", "C"):
+            raise ValueError(f"grid order must be 'R' or 'C', got {order!r}")
         devices = list(devices if devices is not None else jax.devices())
         if grid_size is None:
             grid_size = _default_grid(len(devices))
@@ -32,7 +38,10 @@ class Grid:
         if P_ * Q_ > len(devices):
             raise ValueError(f"grid {grid_size} needs {P_ * Q_} devices, "
                              f"have {len(devices)}")
-        dev = np.asarray(devices[:P_ * Q_]).reshape(P_, Q_)
+        dev = np.asarray(devices[:P_ * Q_]).reshape(
+            (P_, Q_) if order == "R" else (Q_, P_))
+        if order == "C":
+            dev = dev.T
         self.mesh = Mesh(dev, (ROW_AXIS, COL_AXIS))
         self.grid_size = (P_, Q_)
 

@@ -52,9 +52,11 @@ def _global_view(aptr: int, desca, dtype) -> np.ndarray:
     return flat.reshape((lld, n), order="F")[:m, :]
 
 
-def c_create_grid(nprow: int, npcol: int) -> int:
+def c_create_grid(nprow: int, npcol: int, order: str = "R") -> int:
     from ..api import scalapack as s
-    return s.dlaf_create_grid(nprow, npcol)
+    if order not in ("R", "C"):
+        return -2
+    return s.dlaf_create_grid(nprow, npcol, order)
 
 
 def c_free_grid(ctx: int) -> int:
@@ -77,6 +79,99 @@ def c_ppotrf(uplo: str, n: int, aptr: int, ia: int, ja: int, desca, ctx: int,
     if bad.any():
         return int(np.argmax(bad)) + 1
     np.copyto(a, out)
+    return 0
+
+
+def _wdtype(dt: str) -> np.dtype:
+    """Eigenvalue dtype: the real base type of ``dt``."""
+    return np.dtype({"complex64": "float32",
+                     "complex128": "float64"}.get(dt, dt))
+
+
+def c_psygvd(uplo: str, n: int, aptr: int, ia: int, ja: int, desca,
+             bptr: int, ib: int, jb: int, descb, wptr: int, zptr: int,
+             ctx: int, dt: str, factorized: int) -> int:
+    """ScaLAPACK-style generalized eigensolver (header contract:
+    dlaf_p{s,d}sygvd / dlaf_p{c,z}hegvd [+_factorized]); w gets n REAL
+    eigenvalues, z is written compact n x n column-major."""
+    from ..api import scalapack as s
+    dtype = np.dtype(dt)
+    a = _global_view(aptr, desca, dtype)
+    b = _global_view(bptr, descb, dtype)
+    base = {"float32": "dlaf_pssygvd", "float64": "dlaf_pdsygvd",
+            "complex64": "dlaf_pchegvd", "complex128": "dlaf_pzhegvd"}[dt]
+    fn = getattr(s, base + ("_factorized" if factorized else ""))
+    w, z = fn(uplo, n, np.ascontiguousarray(a), np.ascontiguousarray(b),
+              ia, ja, list(desca), ctx, ib=ib, jb=jb, descb=list(descb))
+    np.copyto(_wrap(wptr, n, _wdtype(dt)), np.asarray(w, _wdtype(dt)))
+    zv = _wrap(zptr, n * n, dtype).reshape((n, n), order="F")
+    np.copyto(zv, np.asarray(z, dtype))
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# descriptor-based entries (header struct DLAF_descriptor, reference
+# include/dlaf_c/desc.h:16): d arrives as the 9-tuple
+# (m, n, mb, nb, isrc, jsrc, i, j, ld); ld is the leading dimension of the
+# GLOBAL column-major buffer (0 means m), i/j must be 0.
+
+
+def _dlaf_view(ptr: int, d, dtype) -> np.ndarray:
+    m, n, ld = d[0], d[1], d[8] or d[0]
+    flat = _wrap(ptr, ld * n, dtype)
+    return flat.reshape((ld, n), order="F")[:m, :]
+
+
+def _dlaf_desc(d):
+    from ..api import scalapack as s
+    return s.DLAF_descriptor(m=d[0], n=d[1], mb=d[2], nb=d[3],
+                             isrc=d[4], jsrc=d[5], ld=d[8])
+
+
+def c_chol_desc(ctx: int, uplo: str, aptr: int, d, dt: str) -> int:
+    from ..api import scalapack as s
+    if d[6] != 0 or d[7] != 0:
+        return -2  # submatrix offsets unsupported (reference: must be 0)
+    a = _dlaf_view(aptr, d, np.dtype(dt))
+    out = s.dlaf_cholesky_factorization(ctx, uplo, np.ascontiguousarray(a),
+                                        _dlaf_desc(d))
+    diag = np.diagonal(out)
+    bad = ~np.isfinite(diag)
+    if bad.any():
+        return int(np.argmax(bad)) + 1
+    np.copyto(a, out)
+    return 0
+
+
+def c_syevd_desc(ctx: int, uplo: str, aptr: int, da, wptr: int, zptr: int,
+                 dz, dt: str) -> int:
+    from ..api import scalapack as s
+    if da[6] or da[7] or dz[6] or dz[7]:
+        return -2
+    dtype = np.dtype(dt)
+    a = _dlaf_view(aptr, da, dtype)
+    w, z = s.dlaf_symmetric_eigensolver(ctx, uplo, np.ascontiguousarray(a),
+                                        _dlaf_desc(da))
+    np.copyto(_wrap(wptr, da[0], _wdtype(dt)), np.asarray(w, _wdtype(dt)))
+    np.copyto(_dlaf_view(zptr, dz, dtype), np.asarray(z, dtype))
+    return 0
+
+
+def c_sygvd_desc(ctx: int, uplo: str, aptr: int, da, bptr: int, db,
+                 wptr: int, zptr: int, dz, dt: str, factorized: int) -> int:
+    from ..api import scalapack as s
+    if da[6] or da[7] or db[6] or db[7] or dz[6] or dz[7]:
+        return -2
+    if (da[2], da[3]) != (db[2], db[3]):
+        return -3  # a and b must share the blocking factors
+    dtype = np.dtype(dt)
+    a = _dlaf_view(aptr, da, dtype)
+    b = _dlaf_view(bptr, db, dtype)
+    w, z = s.dlaf_symmetric_generalized_eigensolver(
+        ctx, uplo, np.ascontiguousarray(a), np.ascontiguousarray(b),
+        _dlaf_desc(da), factorized=bool(factorized))
+    np.copyto(_wrap(wptr, da[0], _wdtype(dt)), np.asarray(w, _wdtype(dt)))
+    np.copyto(_dlaf_view(zptr, dz, dtype), np.asarray(z, dtype))
     return 0
 
 

@@ -115,8 +115,14 @@ int dlaf_finalize(void) {
 }
 
 int dlaf_create_grid(int nprow, int npcol) {
+  return dlaf_create_grid_ordered(nprow, npcol, 'R');
+}
+
+int dlaf_create_grid_ordered(int nprow, int npcol, char order) {
   PyGILState_STATE g = PyGILState_Ensure();
-  int rc = call_int("c_create_grid", Py_BuildValue("(ii)", nprow, npcol));
+  char o[2] = {order, 0};
+  int rc =
+      call_int("c_create_grid", Py_BuildValue("(iis)", nprow, npcol, o));
   PyGILState_Release(g);
   return rc;
 }
@@ -191,6 +197,229 @@ int dlaf_pcheevd(char uplo, int n, void* a, const int* desca, float* w,
 int dlaf_pzheevd(char uplo, int n, void* a, const int* desca, double* w,
                  void* z, int ctx) {
   return psyevd(uplo, n, a, desca, w, z, ctx, "complex128");
+}
+
+static int psygvd(char uplo, int n, void* a, int ia, int ja,
+                  const int* desca, void* b, int ib, int jb,
+                  const int* descb, void* w, void* z, int ctx,
+                  const char* dt, int factorized) {
+  PyGILState_STATE g = PyGILState_Ensure();
+  char u[2] = {uplo, 0};
+  PyObject* args = Py_BuildValue(
+      "(siKiiNKiiNKKisi)", u, n, (unsigned long long)(uintptr_t)a, ia, ja,
+      desc_tuple(desca), (unsigned long long)(uintptr_t)b, ib, jb,
+      desc_tuple(descb), (unsigned long long)(uintptr_t)w,
+      (unsigned long long)(uintptr_t)z, ctx, dt, factorized);
+  int rc = call_int("c_psygvd", args);
+  PyGILState_Release(g);
+  return rc;
+}
+
+int dlaf_pssygvd(char uplo, int n, float* a, int ia, int ja,
+                 const int* desca, float* b, int ib, int jb,
+                 const int* descb, float* w, float* z, int ctx) {
+  return psygvd(uplo, n, a, ia, ja, desca, b, ib, jb, descb, w, z, ctx,
+                "float32", 0);
+}
+
+int dlaf_pdsygvd(char uplo, int n, double* a, int ia, int ja,
+                 const int* desca, double* b, int ib, int jb,
+                 const int* descb, double* w, double* z, int ctx) {
+  return psygvd(uplo, n, a, ia, ja, desca, b, ib, jb, descb, w, z, ctx,
+                "float64", 0);
+}
+
+int dlaf_pchegvd(char uplo, int n, void* a, int ia, int ja, const int* desca,
+                 void* b, int ib, int jb, const int* descb, float* w, void* z,
+                 int ctx) {
+  return psygvd(uplo, n, a, ia, ja, desca, b, ib, jb, descb, w, z, ctx,
+                "complex64", 0);
+}
+
+int dlaf_pzhegvd(char uplo, int n, void* a, int ia, int ja, const int* desca,
+                 void* b, int ib, int jb, const int* descb, double* w,
+                 void* z, int ctx) {
+  return psygvd(uplo, n, a, ia, ja, desca, b, ib, jb, descb, w, z, ctx,
+                "complex128", 0);
+}
+
+int dlaf_pssygvd_factorized(char uplo, int n, float* a, int ia, int ja,
+                            const int* desca, float* b, int ib, int jb,
+                            const int* descb, float* w, float* z, int ctx) {
+  return psygvd(uplo, n, a, ia, ja, desca, b, ib, jb, descb, w, z, ctx,
+                "float32", 1);
+}
+
+int dlaf_pdsygvd_factorized(char uplo, int n, double* a, int ia, int ja,
+                            const int* desca, double* b, int ib, int jb,
+                            const int* descb, double* w, double* z, int ctx) {
+  return psygvd(uplo, n, a, ia, ja, desca, b, ib, jb, descb, w, z, ctx,
+                "float64", 1);
+}
+
+int dlaf_pchegvd_factorized(char uplo, int n, void* a, int ia, int ja,
+                            const int* desca, void* b, int ib, int jb,
+                            const int* descb, float* w, void* z, int ctx) {
+  return psygvd(uplo, n, a, ia, ja, desca, b, ib, jb, descb, w, z, ctx,
+                "complex64", 1);
+}
+
+int dlaf_pzhegvd_factorized(char uplo, int n, void* a, int ia, int ja,
+                            const int* desca, void* b, int ib, int jb,
+                            const int* descb, double* w, void* z, int ctx) {
+  return psygvd(uplo, n, a, ia, ja, desca, b, ib, jb, descb, w, z, ctx,
+                "complex128", 1);
+}
+
+// ---------------------------------------------------------------------------
+// descriptor-based entries (reference include/dlaf_c/desc.h, the typed
+// non-ScaLAPACK surface)
+
+struct DLAF_descriptor make_dlaf_descriptor(int m, int n, int i, int j,
+                                            const int desc[9]) {
+  struct DLAF_descriptor d = {m,       n,       desc[4], desc[5], desc[6],
+                              desc[7], i,       j,       desc[8]};
+  return d;
+}
+
+namespace {
+
+PyObject* dlaf_desc_tuple(const struct DLAF_descriptor& d) {
+  return Py_BuildValue("(iiiiiiiii)", d.m, d.n, d.mb, d.nb, d.isrc, d.jsrc,
+                       d.i, d.j, d.ld);
+}
+
+int chol_desc(int ctx, char uplo, void* a, struct DLAF_descriptor da,
+              const char* dt) {
+  PyGILState_STATE g = PyGILState_Ensure();
+  char u[2] = {uplo, 0};
+  PyObject* args =
+      Py_BuildValue("(isKNs)", ctx, u, (unsigned long long)(uintptr_t)a,
+                    dlaf_desc_tuple(da), dt);
+  int rc = call_int("c_chol_desc", args);
+  PyGILState_Release(g);
+  return rc;
+}
+
+int syevd_desc(int ctx, char uplo, void* a, struct DLAF_descriptor da,
+               void* w, void* z, struct DLAF_descriptor dz, const char* dt) {
+  PyGILState_STATE g = PyGILState_Ensure();
+  char u[2] = {uplo, 0};
+  PyObject* args = Py_BuildValue(
+      "(isKNKKNs)", ctx, u, (unsigned long long)(uintptr_t)a,
+      dlaf_desc_tuple(da), (unsigned long long)(uintptr_t)w,
+      (unsigned long long)(uintptr_t)z, dlaf_desc_tuple(dz), dt);
+  int rc = call_int("c_syevd_desc", args);
+  PyGILState_Release(g);
+  return rc;
+}
+
+int sygvd_desc(int ctx, char uplo, void* a, struct DLAF_descriptor da,
+               void* b, struct DLAF_descriptor db, void* w, void* z,
+               struct DLAF_descriptor dz, const char* dt, int factorized) {
+  PyGILState_STATE g = PyGILState_Ensure();
+  char u[2] = {uplo, 0};
+  PyObject* args = Py_BuildValue(
+      "(isKNKNKKNsi)", ctx, u, (unsigned long long)(uintptr_t)a,
+      dlaf_desc_tuple(da), (unsigned long long)(uintptr_t)b,
+      dlaf_desc_tuple(db), (unsigned long long)(uintptr_t)w,
+      (unsigned long long)(uintptr_t)z, dlaf_desc_tuple(dz), dt, factorized);
+  int rc = call_int("c_sygvd_desc", args);
+  PyGILState_Release(g);
+  return rc;
+}
+
+}  // namespace
+
+int dlaf_cholesky_factorization_s(int ctx, char uplo, float* a,
+                                  struct DLAF_descriptor desca) {
+  return chol_desc(ctx, uplo, a, desca, "float32");
+}
+int dlaf_cholesky_factorization_d(int ctx, char uplo, double* a,
+                                  struct DLAF_descriptor desca) {
+  return chol_desc(ctx, uplo, a, desca, "float64");
+}
+int dlaf_cholesky_factorization_c(int ctx, char uplo, void* a,
+                                  struct DLAF_descriptor desca) {
+  return chol_desc(ctx, uplo, a, desca, "complex64");
+}
+int dlaf_cholesky_factorization_z(int ctx, char uplo, void* a,
+                                  struct DLAF_descriptor desca) {
+  return chol_desc(ctx, uplo, a, desca, "complex128");
+}
+
+int dlaf_symmetric_eigensolver_s(int ctx, char uplo, float* a,
+                                 struct DLAF_descriptor desca, float* w,
+                                 float* z, struct DLAF_descriptor descz) {
+  return syevd_desc(ctx, uplo, a, desca, w, z, descz, "float32");
+}
+int dlaf_symmetric_eigensolver_d(int ctx, char uplo, double* a,
+                                 struct DLAF_descriptor desca, double* w,
+                                 double* z, struct DLAF_descriptor descz) {
+  return syevd_desc(ctx, uplo, a, desca, w, z, descz, "float64");
+}
+int dlaf_hermitian_eigensolver_c(int ctx, char uplo, void* a,
+                                 struct DLAF_descriptor desca, float* w,
+                                 void* z, struct DLAF_descriptor descz) {
+  return syevd_desc(ctx, uplo, a, desca, w, z, descz, "complex64");
+}
+int dlaf_hermitian_eigensolver_z(int ctx, char uplo, void* a,
+                                 struct DLAF_descriptor desca, double* w,
+                                 void* z, struct DLAF_descriptor descz) {
+  return syevd_desc(ctx, uplo, a, desca, w, z, descz, "complex128");
+}
+
+int dlaf_symmetric_generalized_eigensolver_s(
+    int ctx, char uplo, float* a, struct DLAF_descriptor desca, float* b,
+    struct DLAF_descriptor descb, float* w, float* z,
+    struct DLAF_descriptor descz) {
+  return sygvd_desc(ctx, uplo, a, desca, b, descb, w, z, descz, "float32", 0);
+}
+int dlaf_symmetric_generalized_eigensolver_d(
+    int ctx, char uplo, double* a, struct DLAF_descriptor desca, double* b,
+    struct DLAF_descriptor descb, double* w, double* z,
+    struct DLAF_descriptor descz) {
+  return sygvd_desc(ctx, uplo, a, desca, b, descb, w, z, descz, "float64", 0);
+}
+int dlaf_hermitian_generalized_eigensolver_c(
+    int ctx, char uplo, void* a, struct DLAF_descriptor desca, void* b,
+    struct DLAF_descriptor descb, float* w, void* z,
+    struct DLAF_descriptor descz) {
+  return sygvd_desc(ctx, uplo, a, desca, b, descb, w, z, descz, "complex64",
+                    0);
+}
+int dlaf_hermitian_generalized_eigensolver_z(
+    int ctx, char uplo, void* a, struct DLAF_descriptor desca, void* b,
+    struct DLAF_descriptor descb, double* w, void* z,
+    struct DLAF_descriptor descz) {
+  return sygvd_desc(ctx, uplo, a, desca, b, descb, w, z, descz, "complex128",
+                    0);
+}
+int dlaf_symmetric_generalized_eigensolver_factorized_s(
+    int ctx, char uplo, float* a, struct DLAF_descriptor desca, float* b,
+    struct DLAF_descriptor descb, float* w, float* z,
+    struct DLAF_descriptor descz) {
+  return sygvd_desc(ctx, uplo, a, desca, b, descb, w, z, descz, "float32", 1);
+}
+int dlaf_symmetric_generalized_eigensolver_factorized_d(
+    int ctx, char uplo, double* a, struct DLAF_descriptor desca, double* b,
+    struct DLAF_descriptor descb, double* w, double* z,
+    struct DLAF_descriptor descz) {
+  return sygvd_desc(ctx, uplo, a, desca, b, descb, w, z, descz, "float64", 1);
+}
+int dlaf_hermitian_generalized_eigensolver_factorized_c(
+    int ctx, char uplo, void* a, struct DLAF_descriptor desca, void* b,
+    struct DLAF_descriptor descb, float* w, void* z,
+    struct DLAF_descriptor descz) {
+  return sygvd_desc(ctx, uplo, a, desca, b, descb, w, z, descz, "complex64",
+                    1);
+}
+int dlaf_hermitian_generalized_eigensolver_factorized_z(
+    int ctx, char uplo, void* a, struct DLAF_descriptor desca, void* b,
+    struct DLAF_descriptor descb, double* w, void* z,
+    struct DLAF_descriptor descz) {
+  return sygvd_desc(ctx, uplo, a, desca, b, descb, w, z, descz, "complex128",
+                    1);
 }
 
 }  // extern "C"

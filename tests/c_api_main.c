@@ -137,6 +137,84 @@ int main(void) {
     printf("c_api: zheevd res %.2e\n", rz);
   }
 
+  /* descriptor-based entries (reference non-ScaLAPACK typed surface):
+   * dlaf_cholesky_factorization_d must reproduce dlaf_pdpotrf, and
+   * dlaf_symmetric_eigensolver_d must reproduce dlaf_pdsyevd */
+  {
+    static double ad[N * N], wd[N], zd[N * N];
+    struct DLAF_descriptor da = make_dlaf_descriptor(N, N, 0, 0, desca);
+    for (j = 0; j < N; ++j)
+      for (i = 0; i < N; ++i) AT(ad, i, j) = AT(a0, i, j);
+    if (dlaf_cholesky_factorization_d(ctx, 'L', ad, da) != 0) return 14;
+    for (j = 0; j < N; ++j)
+      for (i = j; i < N; ++i) /* lower triangle must match pdpotrf's */
+        if (fabs(AT(ad, i, j) - AT(a, i, j)) > 1e-10 * N) return 15;
+    for (j = 0; j < N; ++j)
+      for (i = 0; i < N; ++i) AT(ad, i, j) = AT(a0, i, j);
+    if (dlaf_symmetric_eigensolver_d(ctx, 'L', ad, da, wd, zd, da) != 0)
+      return 16;
+    for (i = 0; i < N; ++i)
+      if (fabs(wd[i] - w[i]) > 1e-9 * N) return 17;
+  }
+
+  /* generalized eigensolver with B = 2 I: eigenvalues must be w / 2
+   * (A z = lambda B z), both through the ScaLAPACK-style entry and the
+   * factorized path (chol(2I) = sqrt(2) I) */
+  {
+    static double ag[N * N], bg[N * N], wg[N], zg[N * N];
+    for (j = 0; j < N; ++j)
+      for (i = 0; i < N; ++i) {
+        AT(ag, i, j) = AT(a0, i, j);
+        AT(bg, i, j) = (i == j) ? 2.0 : 0.0;
+      }
+    if (dlaf_pdsygvd('L', N, ag, 1, 1, desca, bg, 1, 1, desca, wg, zg,
+                     ctx) != 0)
+      return 18;
+    for (i = 0; i < N; ++i)
+      if (fabs(wg[i] - 0.5 * w[i]) > 1e-8 * N) {
+        fprintf(stderr, "sygvd w[%d]=%g vs %g\n", i, wg[i], 0.5 * w[i]);
+        return 19;
+      }
+    /* residual ||A z_0 - w_0 B z_0||_max on column 0 (B = 2I) */
+    double rg = 0.0;
+    for (i = 0; i < N; ++i) {
+      double s = 0.0;
+      for (k = 0; k < N; ++k) s += AT(a0, i, k) * AT(zg, k, 0);
+      double d = fabs(s - wg[0] * 2.0 * AT(zg, i, 0));
+      if (d > rg) rg = d;
+    }
+    if (rg > 1e-8 * N * N) {
+      fprintf(stderr, "sygvd residual %g\n", rg);
+      return 20;
+    }
+    for (j = 0; j < N; ++j)
+      for (i = 0; i < N; ++i) {
+        AT(ag, i, j) = AT(a0, i, j);
+        AT(bg, i, j) = (i == j) ? sqrt(2.0) : 0.0; /* chol(2I) */
+      }
+    if (dlaf_pdsygvd_factorized('L', N, ag, 1, 1, desca, bg, 1, 1, desca,
+                                wg, zg, ctx) != 0)
+      return 21;
+    for (i = 0; i < N; ++i)
+      if (fabs(wg[i] - 0.5 * w[i]) > 1e-8 * N) return 22;
+    /* descriptor-based generalized entry agrees */
+    {
+      struct DLAF_descriptor da = make_dlaf_descriptor(N, N, 0, 0, desca);
+      static double wg2[N], zg2[N * N];
+      for (j = 0; j < N; ++j)
+        for (i = 0; i < N; ++i) {
+          AT(ag, i, j) = AT(a0, i, j);
+          AT(bg, i, j) = (i == j) ? 2.0 : 0.0;
+        }
+      if (dlaf_symmetric_generalized_eigensolver_d(ctx, 'L', ag, da, bg, da,
+                                                   wg2, zg2, da) != 0)
+        return 23;
+      for (i = 0; i < N; ++i)
+        if (fabs(wg2[i] - wg[i]) > 1e-9 * N) return 24;
+    }
+    printf("c_api: sygvd OK\n");
+  }
+
   dlaf_free_grid(ctx);
   printf("c_api: potrf res %.2e, syevd res %.2e OK\n", res, rese);
   return 0;

@@ -123,3 +123,41 @@ def test_io_read_dist(tmp_path):
     f.write(input=a)
     dm = f.read_dist("input", 8, Grid((2, 2)))
     np.testing.assert_allclose(np.asarray(dm.to_global()), a)
+
+
+def test_grid_order_column_major():
+    """Grid order="C" assigns devices column-major (reference
+    dlaf_create_grid order argument, include/dlaf_c/grid.h:31): device k
+    sits at (k % P, k // P), and algorithms still run correctly since all
+    index math is in mesh coordinates."""
+    from dlaf_tpu.algos.cholesky import cholesky
+    from dlaf_tpu.comm.mesh import Grid
+    from dlaf_tpu.matrix.dist_matrix import DistMatrix
+    from dlaf_tpu.matrix import generators as gen
+
+    devs = jax.devices()[:8]
+    gr = Grid((2, 4), order="R")
+    gc = Grid((2, 4), order="C")
+    mr = np.asarray(gr.mesh.devices)
+    mc = np.asarray(gc.mesh.devices)
+    assert mr[0, 1] == devs[1] and mr[1, 0] == devs[4]
+    assert mc[0, 1] == devs[2] and mc[1, 0] == devs[1]
+
+    with pytest.raises(ValueError):
+        Grid((2, 4), order="X")
+
+    a = gen.random_hermitian_positive_definite(jax.random.PRNGKey(0), 64,
+                                               jnp.float32)
+    dm = DistMatrix.from_global(a, 16, gc, pad_identity=True)
+    out = np.tril(np.asarray(cholesky(dm).to_global()))
+    res = np.max(np.abs(out @ out.T - np.asarray(a)))
+    assert res < 1e-3
+
+    # the ScaLAPACK registry passes the order through
+    from dlaf_tpu.api import scalapack as s
+    ctx = s.dlaf_create_grid(2, 4, "C")
+    try:
+        g2 = s.dlaf_get_grid(ctx)
+        assert np.asarray(g2.mesh.devices)[0, 1] == devs[2]
+    finally:
+        s.dlaf_free_grid(ctx)
