@@ -45,6 +45,43 @@ class Grid:
         self.mesh = Mesh(dev, (ROW_AXIS, COL_AXIS))
         self.grid_size = (P_, Q_)
 
+    @classmethod
+    def multihost(cls, intra_axis: str = ROW_AXIS,
+                  devices: Optional[Sequence] = None) -> "Grid":
+        """DCN-aware grid for multi-process runtimes (the reference is
+        MPI-multi-node first, ``communication/init.h:20-35``; on TPU pods
+        the analogous split is ICI within a slice vs DCN across hosts).
+
+        Arranges the mesh so collectives along ``intra_axis`` stay inside
+        one process's devices (ICI) and only the other axis crosses the
+        process boundary (DCN). Default ``intra_axis=ROW_AXIS`` because the
+        row-axis ``all_gather`` of the solved panel is the highest-volume
+        collective in the factorizations (``algos/cholesky.py`` step 4);
+        grid shape is (local_device_count, n_processes) — each grid COLUMN
+        is one process.
+        """
+        if intra_axis not in (ROW_AXIS, COL_AXIS):
+            raise ValueError(f"intra_axis must be {ROW_AXIS!r} or "
+                             f"{COL_AXIS!r}, got {intra_axis!r}")
+        devices = list(devices if devices is not None else jax.devices())
+        by_proc: dict = {}
+        for d in devices:
+            by_proc.setdefault(d.process_index, []).append(d)
+        counts = {len(v) for v in by_proc.values()}
+        if len(counts) != 1:
+            raise ValueError("devices per process must be uniform, got "
+                             f"{sorted((k, len(v)) for k, v in by_proc.items())}")
+        procs = sorted(by_proc)
+        nloc, nproc = counts.pop(), len(procs)
+        if intra_axis == ROW_AXIS:
+            # column q = process q's devices: (nloc, nproc) row-major flat
+            flat = [by_proc[procs[q]][p]
+                    for p in range(nloc) for q in range(nproc)]
+            return cls((nloc, nproc), devices=flat)
+        # row p = process p's devices
+        flat = [d for pr in procs for d in by_proc[pr]]
+        return cls((nproc, nloc), devices=flat)
+
     @property
     def nr_rows(self) -> int:
         return self.grid_size[0]

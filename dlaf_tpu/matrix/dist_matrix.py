@@ -31,8 +31,19 @@ class DistMatrix:
 
         ``pad_identity`` puts an identity block on the padded diagonal
         (needed so triangular/SPD algorithms can run on the padded shape).
+
+        Works in multi-process (multi-host) runtimes too: every process
+        passes the SAME global array (the reference's replicated-input
+        convention for its sync C API) and only the shards addressable by
+        this process are materialized, via :meth:`from_callback`.
         """
         m, n = a.shape
+        if jax.process_count() > 1:
+            import numpy as np
+
+            an = np.asarray(a)
+            return cls.from_callback(lambda idx: an[idx], (m, n), nb, grid,
+                                     an.dtype, pad_identity=pad_identity)
         d = Distribution((m, n), (nb, nb), grid.grid_size)
         pm, pn = d.padded_size
         ap = jnp.pad(a, ((0, pm - m), (0, pn - n)))
@@ -46,14 +57,17 @@ class DistMatrix:
         return cls(data, d, grid)
 
     @classmethod
-    def from_callback(cls, cb, size, nb: int, grid: Grid, dtype):
+    def from_callback(cls, cb, size, nb: int, grid: Grid, dtype,
+                      pad_identity: bool = False):
         """Build a DistMatrix without ever materializing the global array:
         ``cb((row_slice, col_slice)) -> ndarray`` is called once per needed
         global region, only for shards addressable by THIS process — the
         multi-host construction path (each host fills only its devices'
         shards; the reference reads user/ScaLAPACK-owned local memory the
         same way, ``src/c_api/utils.cpp:68``). Out-of-range (padding)
-        regions are requested clamped and zero-filled here.
+        regions are requested clamped and zero-filled here;
+        ``pad_identity`` puts ones on the padded diagonal (same contract
+        as :meth:`from_global`).
         """
         import numpy as np
 
@@ -81,6 +95,12 @@ class DistMatrix:
                                          slice(gc, min(gc + nb, n)))))
                     out[0, 0, lt * nb:lt * nb + blk.shape[0],
                         ct * nb:ct * nb + blk.shape[1]] = blk
+            if pad_identity:
+                for g in range(min(m, n), min(pm, pn)):
+                    t = g // nb
+                    if t % Pg == p and t % Qg == q:
+                        out[0, 0, (t // Pg) * nb + g % nb,
+                            (t // Qg) * nb + g % nb] = 1
             return out
 
         data = jax.make_array_from_callback(
@@ -88,8 +108,21 @@ class DistMatrix:
         return cls(data, d, grid)
 
     def to_global(self):
-        """Gather to a single (m, n) array (unpadded)."""
-        full = gather_from_shards(jax.device_get(self.data), self.dist)
+        """Gather to a single (m, n) array (unpadded).
+
+        In multi-process runtimes the shard array is first replicated with
+        a jitted identity (an ``all_gather`` over the mesh), so every
+        process can read the whole result process-locally.
+        """
+        data = self.data
+        if jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            data = jax.jit(
+                lambda x: x,
+                out_shardings=NamedSharding(self.grid.mesh,
+                                            PartitionSpec()))(data)
+        full = gather_from_shards(jax.device_get(data), self.dist)
         m, n = self.dist.size
         return full[:m, :n]
 

@@ -442,11 +442,11 @@ def band_to_tridiag_strips_pallas(strips, n: int, b: int, sweep_lo=0,
         kernel,
         out_shape=(jax.ShapeDtypeStruct(sp.shape, sp.dtype),
                    jax.ShapeDtypeStruct(hh0.shape, hh0.dtype)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[
             pltpu.VMEM((nw_r, P, 3, b, win), jnp.float32),
             pltpu.VMEM((nw_w, P, bpt, ALIGN), jnp.float32),

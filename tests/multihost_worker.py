@@ -76,4 +76,37 @@ res = np.max(np.abs(l @ l.T - spd))
 bound = 100 * n * np.finfo(np.float32).eps * np.max(np.abs(spd))
 print(f"[proc {proc_id}] residual {res:.3e} bound {bound:.3e}", flush=True)
 assert res <= bound, (res, bound)
+
+# DCN-aware grid: Grid.multihost puts each grid COLUMN inside one process,
+# so row-axis collectives (the heavy panel all_gather) never cross the
+# process boundary; verify the layout and that cholesky still passes on it
+gridm = Grid.multihost()
+assert gridm.grid_size == (2, nprocs), gridm.grid_size
+import numpy as _np
+
+devm = _np.asarray(gridm.mesh.devices)
+for q in range(devm.shape[1]):
+    pids = {d.process_index for d in devm[:, q]}
+    assert len(pids) == 1, f"grid column {q} spans processes {pids}"
+dmm = DistMatrix.from_callback(cb, (n, n), nb, gridm, np.float32)
+outm = cholesky(dmm)
+repm = jax.jit(lambda x: x, out_shardings=NamedSharding(gridm.mesh, P()))(
+    outm.data)
+fullm = gather_from_shards(np.asarray(jax.device_get(repm)), outm.dist)
+lm = np.tril(np.asarray(fullm)[:n, :n])
+resm = np.max(np.abs(lm @ lm.T - spd))
+assert resm <= bound, (resm, bound)
+print(f"[proc {proc_id}] multihost-grid residual {resm:.3e} OK", flush=True)
+
+# multi-host from_global/to_global: every process passes the same global
+# array (replicated-input convention); to_global replicates device-side
+# then reads process-locally
+dmg = DistMatrix.from_global(spd, nb, grid, pad_identity=True)
+outg = cholesky(dmg)
+lg = np.tril(np.asarray(outg.to_global()))
+resg = np.max(np.abs(lg @ lg.T - spd))
+assert resg <= bound, (resg, bound)
+rt = np.asarray(dmg.to_global())
+assert np.array_equal(rt, spd), "from_global/to_global round-trip"
+print(f"[proc {proc_id}] from_global residual {resg:.3e} OK", flush=True)
 print(f"[proc {proc_id}] OK", flush=True)

@@ -101,6 +101,21 @@ def test_from_callback_matches_from_global():
             assert np.array_equal(np.asarray(dm.to_global()), a)
 
 
+def test_from_callback_pad_identity_matches_from_global():
+    """pad_identity contract on the callback path: ones on the padded
+    diagonal, shard-identical to from_global(pad_identity=True)."""
+    rng = np.random.default_rng(11)
+    for gs in ((2, 4), (3, 2)):
+        for n, nb in ((40, 16), (100, 16)):
+            a = rng.standard_normal((n, n))
+            dm = DistMatrix.from_callback(lambda idx: a[idx], (n, n), nb,
+                                          Grid(gs), np.float64,
+                                          pad_identity=True)
+            dm2 = DistMatrix.from_global(jnp.asarray(a), nb, Grid(gs),
+                                         pad_identity=True)
+            assert np.array_equal(np.asarray(dm.data), np.asarray(dm2.data))
+
+
 def test_dist_permute_device_resident():
     """Distributed permutation via all_gather + local gather (no host)."""
     from dlaf_tpu.algos.permutations import permute
