@@ -257,6 +257,24 @@ def main():
         except Exception as exc2:  # noqa: BLE001
             heev_big = {"error": repr(exc)[:200],
                         "eigvalsh_error": repr(exc2)[:200]}
+    # distributed-vs-local artifact refresh (BENCH_DIST.json): the 1x1-grid
+    # overhead measurement, in-process (a second process could not grab the
+    # chip through the tunnel) with the leftover wall budget
+    dist_1x1 = None
+    try:
+        del a  # free the POTRF input (bench_dist makes its own)
+        rem = budget - (time.perf_counter() - t_start)
+        if rem > 300:
+            sys.path.insert(0, "/root/repo/scripts")
+            import bench_dist
+            bench_dist.main(["--skip-eigh"] if rem < 900 else [])
+            with open("/root/repo/BENCH_DIST.json") as f:
+                dist_1x1 = json.load(f)
+        else:
+            dist_1x1 = {"skipped": "bench wall budget exhausted"}
+    except Exception as exc:  # noqa: BLE001 - report, don't fail the bench
+        dist_1x1 = {"error": repr(exc)[:200]}
+
     # hardware kernel smoke: the Pallas tile kernels on the real chip
     # (the TPU pytest lane's core checks, wired into the driver flow)
     try:
@@ -294,6 +312,7 @@ def main():
                                            for k, v in ab_times.items()},
                    "heev": heev,
                    "heev_32768": heev_big,
+                   "dist_1x1": dist_1x1,
                    "tpu_kernel_smoke": smoke}, f, indent=1)
     print(json.dumps(line))
 

@@ -63,13 +63,13 @@ def _timeit_donating(fn, mk, ovh, reps=3):
     return max(min(ts) - ovh, 1e-9)
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=32768)
     ap.add_argument("--nb", type=int, default=512)
     ap.add_argument("--ne", type=int, default=8192)
     ap.add_argument("--skip-eigh", action="store_true")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     import dlaf_tpu as dt
     from dlaf_tpu.algos import cholesky as chol
