@@ -41,9 +41,6 @@ from ..ops.householder import tri_inv
 from ..tune import get_tune_parameters
 
 N_WINDOW_BUCKETS = 8
-# column chunks per wide trailing update (staircase herk approximation:
-# computed area = (1/2 + 1/(2*chunks)) of the full rectangle)
-N_TRAIL_CHUNKS = 24
 
 
 def window_buckets(nrt: int, Pn: int, Qn: int, nwin: int = N_WINDOW_BUCKETS,
@@ -227,7 +224,8 @@ def _tile_step_static(pan, kt, *, nb, lnt, offr, pl_c0, pl_c1, pl_end,
     return pan, w, wtT
 
 
-def _dist_potrf_unrolled_shardfn(a4, *, nb, nrt, wt_tiles):
+def _dist_potrf_unrolled_shardfn(a4, *, nb, nrt, wt_tiles,
+                                 trail_chunks):
     """Python-unrolled panel loop: each wide panel gets exact static window
     offsets (offr = kt0 // P, pl_c0 = kt0 // Q), so the staircase trailing
     chunks compute no stale columns and need no runtime cond — the measured
@@ -279,7 +277,7 @@ def _dist_potrf_unrolled_shardfn(a4, *, nb, nrt, wt_tiles):
         wide = jnp.concatenate(ws, axis=1)
         wide_t = jnp.concatenate(wts, axis=0)[:, (pl_c1 - pl_c0) * nb:]
         lnt_tr = lnt - pl_c1
-        nch = min(N_TRAIL_CHUNKS, lnt_tr)
+        nch = min(trail_chunks, lnt_tr)
         cw = -(-lnt_tr // nch)
         for c0 in range(pl_c1, lnt, cw):
             c1 = min(lnt, c0 + cw)
@@ -299,7 +297,7 @@ def _dist_potrf_unrolled_shardfn(a4, *, nb, nrt, wt_tiles):
     return a[None, None]
 
 
-def _dist_potrf_shardfn(a4, *, nb, nrt, wt_tiles):
+def _dist_potrf_shardfn(a4, *, nb, nrt, wt_tiles, trail_chunks):
     a = a4[0, 0]
     p = lax.axis_index(ROW_AXIS)
     q = lax.axis_index(COL_AXIS)
@@ -351,7 +349,7 @@ def _dist_potrf_shardfn(a4, *, nb, nrt, wt_tiles):
         right = (col_tile_w.repeat(nb) >= kt0 + wt_tiles)[None, :]
         wide_t = jnp.where(right, wide_t, 0)
         lmt_w = lm_w // nb
-        nch = min(N_TRAIL_CHUNKS, lnt_w)
+        nch = min(trail_chunks, lnt_w)
         cw = -(-lnt_w // nch)
         for c0t in range(0, lnt_w, cw):
             c1t = min(lnt_w, c0t + cw)
@@ -392,21 +390,24 @@ def _dist_potrf_shardfn(a4, *, nb, nrt, wt_tiles):
     return a[None, None]
 
 
-def _dist_potrf_impl(data, *, nb, nrt, wt_tiles, mesh, unroll):
+def _dist_potrf_impl(data, *, nb, nrt, wt_tiles, mesh, unroll,
+                     trail_chunks):
     spec = P(ROW_AXIS, COL_AXIS, None, None)
     shardfn = _dist_potrf_unrolled_shardfn if unroll else _dist_potrf_shardfn
     fn = jax.shard_map(
-        functools.partial(shardfn, nb=nb, nrt=nrt, wt_tiles=wt_tiles),
+        functools.partial(shardfn, nb=nb, nrt=nrt, wt_tiles=wt_tiles,
+                          trail_chunks=trail_chunks),
         mesh=mesh, in_specs=(spec,), out_specs=spec,
         check_vma=False)  # Pallas leaf kernels carry no vma metadata
     return fn(data)
 
 
 _dist_potrf = functools.partial(jax.jit, static_argnames=(
-    "nb", "nrt", "wt_tiles", "mesh", "unroll"))(_dist_potrf_impl)
+    "nb", "nrt", "wt_tiles", "mesh", "unroll",
+    "trail_chunks"))(_dist_potrf_impl)
 # in-place variant (reference potrf overwrites A): halves peak HBM at scale
 _dist_potrf_donate = functools.partial(jax.jit, static_argnames=(
-    "nb", "nrt", "wt_tiles", "mesh", "unroll"),
+    "nb", "nrt", "wt_tiles", "mesh", "unroll", "trail_chunks"),
     donate_argnums=(0,))(_dist_potrf_impl)
 
 # The factorization body computes in column-major (the bf16_3x dots prefer
@@ -425,12 +426,13 @@ def preferred_format(grid):
 
 
 @functools.lru_cache(maxsize=None)
-def _dist_potrf_cm(nb, nrt, wt_tiles, unroll, grid):
+def _dist_potrf_cm(nb, nrt, wt_tiles, unroll, grid, trail_chunks):
     fmt = preferred_format(grid)
 
     def wrap(data):
         return _dist_potrf_impl(data, nb=nb, nrt=nrt, wt_tiles=wt_tiles,
-                                mesh=grid.mesh, unroll=unroll)
+                                mesh=grid.mesh, unroll=unroll,
+                                trail_chunks=trail_chunks)
 
     return jax.jit(wrap, donate_argnums=(0,), in_shardings=(fmt,),
                    out_shardings=fmt)
@@ -469,12 +471,13 @@ def cholesky(a: DistMatrix, donate: bool = False) -> DistMatrix:
     wt_tiles = min(wt_tiles, max(Qn, (nrt // Qn) * Qn or Qn))
     npanels = -(-nrt // wt_tiles)
     unroll = npanels <= UNROLL_MAX_PANELS
+    tch = max(1, tune.potrf_dist_trail_chunks)
     if donate and _input_is_cm(a.data):
-        out = _dist_potrf_cm(nb, nrt, wt_tiles, unroll, a.grid)(a.data)
+        out = _dist_potrf_cm(nb, nrt, wt_tiles, unroll, a.grid, tch)(a.data)
     else:
         jitfn = _dist_potrf_donate if donate else _dist_potrf
         out = jitfn(a.data, nb=nb, nrt=nrt, wt_tiles=wt_tiles,
-                    mesh=a.grid.mesh, unroll=unroll)
+                    mesh=a.grid.mesh, unroll=unroll, trail_chunks=tch)
     return DistMatrix(out, a.dist, a.grid)
 
 

@@ -30,6 +30,10 @@ class TuneParameters:
     # of Q tiles): the trailing update runs as one k = width GEMM per panel
     # (reference look-ahead panel, factorization/cholesky/impl.h:218-221)
     potrf_dist_panel_width: int = 2048
+    # column chunks per wide distributed trailing update (staircase herk
+    # approximation: computed area = 1/2 + 1/(2*chunks) of the rectangle;
+    # more chunks waste fewer flops but add per-chunk dispatch/masking)
+    potrf_dist_trail_chunks: int = 24
     # eigensolver: band size = smallest divisor of nb >= this (reference
     # include/dlaf/eigensolver/internal/get_band_size.h:20 and
     # tune.h eigensolver_min_band). 128 on TPU: the wavefront bulge chase is
