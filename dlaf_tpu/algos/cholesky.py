@@ -38,6 +38,7 @@ from ..matrix.dist_matrix import DistMatrix
 from ..ops import leaf
 from ..ops.core import ct, matmul_precision
 from ..ops.householder import tri_inv
+from ..ops.pallas.trailing import ksub_available, ksub_matmul_masked
 from ..tune import get_tune_parameters
 
 N_WINDOW_BUCKETS = 8
@@ -225,7 +226,7 @@ def _tile_step_static(pan, kt, *, nb, lnt, offr, pl_c0, pl_c1, pl_end,
 
 
 def _dist_potrf_unrolled_shardfn(a4, *, nb, nrt, wt_tiles,
-                                 trail_chunks):
+                                 trail_chunks, trailing_kernel="xla"):
     """Python-unrolled panel loop: each wide panel gets exact static window
     offsets (offr = kt0 // P, pl_c0 = kt0 // Q), so the staircase trailing
     chunks compute no stale columns and need no runtime cond — the measured
@@ -283,15 +284,26 @@ def _dist_potrf_unrolled_shardfn(a4, *, nb, nrt, wt_tiles,
             c1 = min(lnt, c0 + cw)
             gmin = c0 * Qn   # min global col tile of the chunk over ranks
             t0 = min(max(offr, -(-(gmin - Pn + 1) // Pn)), lmt - 1)
-            u = jnp.matmul(wide[(t0 - offr) * nb:],
-                           wide_t[:, (c0 - pl_c1) * nb:(c1 - pl_c1) * nb],
-                           precision=matmul_precision())
+            xm = wide[(t0 - offr) * nb:]
+            ych = wide_t[:, (c0 - pl_c1) * nb:(c1 - pl_c1) * nb]
+            ach = a[t0 * nb:, c0 * nb:c1 * nb]
+            if trailing_kernel == "pallas" and \
+                    ksub_available(ach, xm, ych, x_k_major=False):
+                # fused chunk: VMEM accumulator + tril epilogue — the XLA
+                # form below pays a full u-write + u-read + select pass of
+                # HBM traffic per chunk (the bulk of the dist/local gap)
+                gr = glob_row[t0 * nb:, None].astype(jnp.int32)
+                gc = glob_col[None, c0 * nb:c1 * nb].astype(jnp.int32)
+                a = a.at[t0 * nb:, c0 * nb:c1 * nb].set(
+                    ksub_matmul_masked(ach, xm, ych, gr, gc,
+                                       x_k_major=False))
+                continue
+            u = jnp.matmul(xm, ych, precision=matmul_precision())
             tril = glob_row[t0 * nb:, None] >= glob_col[None,
                                                         c0 * nb:c1 * nb]
             # slice + subtract + .set (NOT .at[].add): scatter-add lowers to
             # an XLA scatter whose layout assignment inserts full-matrix
             # relayout copies (measured 3 x 12.7 ms at n = 32768)
-            ach = a[t0 * nb:, c0 * nb:c1 * nb]
             a = a.at[t0 * nb:, c0 * nb:c1 * nb].set(
                 ach - jnp.where(tril, u, jnp.zeros_like(u)))
     return a[None, None]
@@ -391,9 +403,13 @@ def _dist_potrf_shardfn(a4, *, nb, nrt, wt_tiles, trail_chunks):
 
 
 def _dist_potrf_impl(data, *, nb, nrt, wt_tiles, mesh, unroll,
-                     trail_chunks):
+                     trail_chunks, trailing_kernel="xla"):
     spec = P(ROW_AXIS, COL_AXIS, None, None)
-    shardfn = _dist_potrf_unrolled_shardfn if unroll else _dist_potrf_shardfn
+    if unroll:
+        shardfn = functools.partial(_dist_potrf_unrolled_shardfn,
+                                    trailing_kernel=trailing_kernel)
+    else:
+        shardfn = _dist_potrf_shardfn
     fn = jax.shard_map(
         functools.partial(shardfn, nb=nb, nrt=nrt, wt_tiles=wt_tiles,
                           trail_chunks=trail_chunks),
@@ -404,11 +420,11 @@ def _dist_potrf_impl(data, *, nb, nrt, wt_tiles, mesh, unroll,
 
 _dist_potrf = functools.partial(jax.jit, static_argnames=(
     "nb", "nrt", "wt_tiles", "mesh", "unroll",
-    "trail_chunks"))(_dist_potrf_impl)
+    "trail_chunks", "trailing_kernel"))(_dist_potrf_impl)
 # in-place variant (reference potrf overwrites A): halves peak HBM at scale
 _dist_potrf_donate = functools.partial(jax.jit, static_argnames=(
-    "nb", "nrt", "wt_tiles", "mesh", "unroll", "trail_chunks"),
-    donate_argnums=(0,))(_dist_potrf_impl)
+    "nb", "nrt", "wt_tiles", "mesh", "unroll", "trail_chunks",
+    "trailing_kernel"), donate_argnums=(0,))(_dist_potrf_impl)
 
 # The factorization body computes in column-major (the bf16_3x dots prefer
 # it), so row-major canonical inputs/outputs pay one full-shard relayout
@@ -426,13 +442,15 @@ def preferred_format(grid):
 
 
 @functools.lru_cache(maxsize=None)
-def _dist_potrf_cm(nb, nrt, wt_tiles, unroll, grid, trail_chunks):
+def _dist_potrf_cm(nb, nrt, wt_tiles, unroll, grid, trail_chunks,
+                   trailing_kernel):
     fmt = preferred_format(grid)
 
     def wrap(data):
         return _dist_potrf_impl(data, nb=nb, nrt=nrt, wt_tiles=wt_tiles,
                                 mesh=grid.mesh, unroll=unroll,
-                                trail_chunks=trail_chunks)
+                                trail_chunks=trail_chunks,
+                                trailing_kernel=trailing_kernel)
 
     return jax.jit(wrap, donate_argnums=(0,), in_shardings=(fmt,),
                    out_shardings=fmt)
@@ -472,12 +490,15 @@ def cholesky(a: DistMatrix, donate: bool = False) -> DistMatrix:
     npanels = -(-nrt // wt_tiles)
     unroll = npanels <= UNROLL_MAX_PANELS
     tch = max(1, tune.potrf_dist_trail_chunks)
+    tk = tune.potrf_trailing_kernel
     if donate and _input_is_cm(a.data):
-        out = _dist_potrf_cm(nb, nrt, wt_tiles, unroll, a.grid, tch)(a.data)
+        out = _dist_potrf_cm(nb, nrt, wt_tiles, unroll, a.grid, tch,
+                             tk)(a.data)
     else:
         jitfn = _dist_potrf_donate if donate else _dist_potrf
         out = jitfn(a.data, nb=nb, nrt=nrt, wt_tiles=wt_tiles,
-                    mesh=a.grid.mesh, unroll=unroll, trail_chunks=tch)
+                    mesh=a.grid.mesh, unroll=unroll, trail_chunks=tch,
+                    trailing_kernel=tk)
     return DistMatrix(out, a.dist, a.grid)
 
 

@@ -108,12 +108,46 @@ def main(argv=None):
     mk4 = jax.jit(lambda: gen.random_hermitian_positive_definite(
         jax.random.PRNGKey(0), n, jnp.float32)[None, None],
         out_shardings=chol.preferred_format(grid))
-    t_dist = _timeit_donating(lambda d: chol.cholesky(
-        DistMatrix(d, dist, grid), donate=True).data, mk4, ovh)
+
+    def dist_fn(d):
+        return chol.cholesky(DistMatrix(d, dist, grid), donate=True).data
+
+    # A/B the staircase trailing-chunk kernel: XLA dot+select vs the fused
+    # masked Pallas accumulator (ops/pallas/trailing.ksub_matmul_masked) —
+    # the knob is threaded as a static jit arg, so each mode compiles its
+    # own program and the winner is what gets reported
+    dist_ab = {}
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    for mode in (("xla", "pallas") if on_tpu else ("xla",)):
+        try:
+            dt.set_tune_parameters(potrf_trailing_kernel=mode)
+            dist_ab[mode] = _timeit_donating(dist_fn, mk4, ovh)
+        except Exception as exc:  # noqa: BLE001 - keep the other mode
+            dist_ab[mode] = repr(exc)[:120]
+    timed = {k: v for k, v in dist_ab.items() if isinstance(v, float)}
+    best = min(timed, key=timed.get)
+    if on_tpu and best == "pallas":
+        # correctness gate: the fused chunk must agree with the XLA chunk
+        dt.set_tune_parameters(potrf_trailing_kernel="pallas")
+        yp = dist_fn(mk4())
+        dt.set_tune_parameters(potrf_trailing_kernel="xla")
+        yx = dist_fn(mk4())
+        dev = float(jnp.max(jnp.abs(yp - yx)))
+        scale = float(jnp.max(jnp.abs(yx)))
+        dist_ab["max_dev"] = dev
+        del yp, yx
+        if dev > 1e-3 * max(scale, 1.0):
+            best = "xla"
+    dt.set_tune_parameters(potrf_trailing_kernel=best)
+    t_dist = timed[best]
     out["potrf_n"] = n
     out["potrf_local_s"] = round(t_loc, 3)
     out["potrf_dist_1x1_s"] = round(t_dist, 3)
     out["potrf_dist_over_local"] = round(t_dist / t_loc, 4)
+    out["potrf_dist_trailing"] = best
+    out["potrf_dist_trailing_ab_s"] = {
+        k: (round(v, 3) if isinstance(v, float) else v)
+        for k, v in dist_ab.items()}
     print(json.dumps({k: out[k] for k in out}))
 
     if not args.skip_eigh:

@@ -109,3 +109,53 @@ def test_ksub_matmul_nn():
         np.asarray(y).astype(np.float64)
     bound = 64 * k * np.finfo(np.float32).eps * 16
     assert np.abs(out - want).max() <= bound, np.abs(out - want).max()
+
+
+@pytest.mark.parametrize("x_k_major", [True, False])
+def test_ksub_matmul_masked(x_k_major):
+    """Masked (global-lower-triangle) fused trailing update: entries with
+    grow < gcol keep C; the rest get C - op(X) Y (the distributed POTRF
+    staircase chunk, algos/cholesky.py)."""
+    from dlaf_tpu.ops.pallas.trailing import ksub_matmul_masked
+
+    m, n, k = 256, 384, 256
+    rng = np.random.default_rng(7)
+    c = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+    xs = (k, m) if x_k_major else (m, k)
+    x = jnp.asarray(rng.standard_normal(xs).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
+    # global indices with an offset + stride pattern like a 2x3 grid shard
+    grow = jnp.asarray((np.arange(m) * 2 + 128)[:, None].astype(np.int32))
+    gcol = jnp.asarray((np.arange(n) * 3 + 64)[None, :].astype(np.int32))
+    out = np.asarray(ksub_matmul_masked(c, x, y, grow, gcol, interpret=True,
+                                        x_k_major=x_k_major))
+    xn = np.asarray(x).astype(np.float64)
+    prod = (xn.T if x_k_major else xn) @ np.asarray(y).astype(np.float64)
+    keep = np.asarray(grow) >= np.asarray(gcol)
+    want = np.where(keep, np.asarray(c) - prod, np.asarray(c))
+    bound = 64 * k * np.finfo(np.float32).eps * 16
+    assert np.abs(out - want).max() <= bound, np.abs(out - want).max()
+
+
+def test_dist_potrf_pallas_trailing_knob_cpu_fallback():
+    """On CPU the 'pallas' trailing knob must be a no-op for the distributed
+    path (ksub_available gates on backend), producing the same factor."""
+    from dlaf_tpu.algos import cholesky as chol
+    from dlaf_tpu.comm.mesh import Grid
+    from dlaf_tpu.matrix.dist_matrix import DistMatrix
+    from dlaf_tpu.tune import get_tune_parameters, set_tune_parameters
+
+    n, nb = 128, 32
+    a = gen.random_hermitian_positive_definite(jax.random.PRNGKey(3), n,
+                                               jnp.float32)
+    grid = Grid((2, 2))
+    dm = DistMatrix.from_global(a, nb, grid)
+    old = get_tune_parameters().potrf_trailing_kernel
+    try:
+        set_tune_parameters(potrf_trailing_kernel="xla")
+        l0 = chol.cholesky(dm).to_global()
+        set_tune_parameters(potrf_trailing_kernel="pallas")
+        l1 = chol.cholesky(dm).to_global()
+    finally:
+        set_tune_parameters(potrf_trailing_kernel=old)
+    assert np.abs(np.asarray(l0) - np.asarray(l1)).max() == 0.0

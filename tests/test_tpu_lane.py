@@ -95,3 +95,46 @@ def test_tridiag_dc():
         np.diag(np.asarray(e), -1)
     assert np.max(np.abs(t @ q - q * lam[None, :])) < 5e-3
     assert np.max(np.abs(q.T @ q - np.eye(n))) < 5e-3
+
+
+def test_ksub_matmul_masked_chip():
+    """Masked fused trailing chunk (the distributed POTRF staircase) on the
+    real chip: VMEM tril epilogue vs the XLA dot+select formulation."""
+    from dlaf_tpu.ops.pallas.trailing import ksub_matmul_masked
+    m, n, k = 512, 512, 512
+    c = jax.random.normal(jax.random.PRNGKey(3), (m, n), F32)
+    x = jax.random.normal(jax.random.PRNGKey(4), (m, k), F32)
+    y = jax.random.normal(jax.random.PRNGKey(5), (k, n), F32)
+    grow = jnp.arange(m, dtype=jnp.int32)[:, None] + 128
+    gcol = jnp.arange(n, dtype=jnp.int32)[None, :]
+    out = np.asarray(ksub_matmul_masked(c, x, y, grow, gcol,
+                                        x_k_major=False))
+    keep = np.asarray(grow) >= np.asarray(gcol)
+    want = np.where(keep,
+                    np.asarray(c) - np.asarray(
+                        jnp.matmul(x, y, precision="high")),
+                    np.asarray(c))
+    assert np.abs(out - want).max() < 1e-2
+
+
+def test_dist_potrf_pallas_trailing_chip():
+    """Distributed POTRF (1x1 grid) with the fused masked trailing kernel
+    matches the XLA trailing path on the chip."""
+    from dlaf_tpu.algos import cholesky as chol
+    from dlaf_tpu.comm.mesh import Grid
+    from dlaf_tpu.matrix.dist_matrix import DistMatrix
+    from dlaf_tpu.tune import get_tune_parameters, set_tune_parameters
+
+    n, nb = 2048, 256
+    a = _spd(n)
+    grid = Grid((1, 1))
+    dm = DistMatrix.from_global(a, nb, grid)
+    old = get_tune_parameters().potrf_trailing_kernel
+    try:
+        set_tune_parameters(potrf_trailing_kernel="xla")
+        l0 = np.asarray(chol.cholesky(dm).to_global())
+        set_tune_parameters(potrf_trailing_kernel="pallas")
+        l1 = np.asarray(chol.cholesky(dm).to_global())
+    finally:
+        set_tune_parameters(potrf_trailing_kernel=old)
+    assert np.abs(l0 - l1).max() <= 1e-3 * max(np.abs(l0).max(), 1.0)
