@@ -151,7 +151,8 @@ def _tile_step(a, kt, *, nb, offr, offc, row_tile, col_tile,
 
 
 def _tile_step_static(pan, kt, *, nb, lnt, offr, pl_c0, pl_c1, pl_end,
-                      row_tile, col_tile, glob_row, glob_col):
+                      row_tile, col_tile, glob_row, glob_col,
+                      trailing_kernel="xla"):
     """Unrolled-panel tile step on the extracted PANEL BUFFER ``pan`` (the
     window rows x the panel's local columns [pl_c0, pl_c1)): ``kt`` and the
     window offsets are Python ints, so every slice is static and the
@@ -216,7 +217,22 @@ def _tile_step_static(pan, kt, *, nb, lnt, offr, pl_c0, pl_c1, pl_end,
     if pu_c0 < pl_c1:
         o = (pu_c0 - pl_c0) * nb
         pw = (pl_c1 - pl_c0) * nb
-        upd = jnp.matmul(w, wtT[:, o:pw], precision=matmul_precision())
+        ych = wtT[:, o:pw]
+        if trailing_kernel == "pallas" and \
+                ksub_available(pan[:, o:], w, ych, x_k_major=False):
+            # fused masked update (see the staircase chunks below): the
+            # pl_end column bound folds into the gcol vector — columns at
+            # or past it get a sentinel larger than any global row index,
+            # so the kernel's tril epilogue keeps C there
+            gr = glob_row[r0:, None].astype(jnp.int32)
+            gcs = glob_col[pu_c0 * nb:pl_c1 * nb].astype(jnp.int32)
+            inpanel = col_tile[pu_c0:pl_c1].repeat(nb) < pl_end
+            gc = jnp.where(inpanel, gcs, jnp.int32(2**30))[None, :]
+            pan = pan.at[:, o:].set(
+                ksub_matmul_masked(pan[:, o:], w, ych, gr, gc,
+                                   x_k_major=False))
+            return pan, w, wtT
+        upd = jnp.matmul(w, ych, precision=matmul_precision())
         mask = (glob_row[r0:, None] >=
                 glob_col[None, pu_c0 * nb:pl_c1 * nb]) & \
             (col_tile[pu_c0:pl_c1].repeat(nb) < pl_end)[None, :]
@@ -263,7 +279,8 @@ def _dist_potrf_unrolled_shardfn(a4, *, nb, nrt, wt_tiles,
             pan, w, wtj = _tile_step_static(
                 pan, kt, nb=nb, lnt=lnt, offr=offr, pl_c0=pl_c0,
                 pl_c1=pl_c1, pl_end=kt0 + wt_tiles, row_tile=row_tile,
-                col_tile=col_tile, glob_row=glob_row, glob_col=glob_col)
+                col_tile=col_tile, glob_row=glob_row, glob_col=glob_col,
+                trailing_kernel=trailing_kernel)
             ws.append(w)
             wts.append(wtj)
         a = a.at[r0:, pl_c0 * nb:pl_c1 * nb].set(pan)

@@ -137,6 +137,40 @@ def test_ksub_matmul_masked(x_k_major):
     assert np.abs(out - want).max() <= bound, np.abs(out - want).max()
 
 
+def test_dist_potrf_pallas_trailing_interpret(monkeypatch):
+    """Distributed POTRF with the fused trailing kernel forced on (interpret
+    mode on CPU) matches the XLA path — exercises BOTH fused sites of the
+    unrolled shard function: the panel-restricted rank-nb update in
+    _tile_step_static (with its pl_end sentinel column bound) and the wide
+    staircase chunks (algos/cholesky.py)."""
+    import functools
+    from dlaf_tpu.algos import cholesky as chol
+    from dlaf_tpu.comm.mesh import Grid
+    from dlaf_tpu.matrix.dist_matrix import DistMatrix
+    from dlaf_tpu.tune import get_tune_parameters, set_tune_parameters
+
+    n, nb = 256, 64
+    a = gen.random_hermitian_positive_definite(jax.random.PRNGKey(9), n,
+                                               jnp.float32)
+    grid = Grid((2, 2))
+    dm = DistMatrix.from_global(a, nb, grid)
+    old = get_tune_parameters().potrf_trailing_kernel
+    try:
+        set_tune_parameters(potrf_trailing_kernel="xla")
+        l0 = np.asarray(chol.cholesky(dm).to_global())
+        # cholesky.py imports the kernel entry points by name: patch there
+        monkeypatch.setattr(chol, "ksub_available", lambda *a_, **k_: True)
+        monkeypatch.setattr(chol, "ksub_matmul_masked",
+                            functools.partial(chol.ksub_matmul_masked,
+                                              interpret=True))
+        set_tune_parameters(potrf_trailing_kernel="pallas")
+        l1 = np.asarray(chol.cholesky(dm).to_global())
+    finally:
+        set_tune_parameters(potrf_trailing_kernel=old)
+    scale = np.abs(l0).max()
+    assert np.abs(l1 - l0).max() <= 1e-3 * scale, np.abs(l1 - l0).max()
+
+
 def test_dist_potrf_pallas_trailing_knob_cpu_fallback():
     """On CPU the 'pallas' trailing knob must be a no-op for the distributed
     path (ksub_available gates on backend), producing the same factor."""
