@@ -59,27 +59,39 @@ def _ksub_kernel_masked(c_ref, x_ref, y_ref, gr_ref, gc_ref, o_ref, acc_ref,
     (gr, per output row) is < the global col index (gc, per output col) keep
     the original C — the distributed staircase chunk's tril mask, applied in
     VMEM so the masked product never touches HBM (the XLA formulation pays
-    a full u-write + u-read + select pass per chunk)."""
+    a full u-write + u-read + select pass per chunk).
+
+    Blocks entirely above the diagonal (max gr < min gc) skip their MXU
+    dots: the staircase chunk's conservative rectangle then over-computes
+    only a block-boundary sliver instead of ~1/(2*chunks) of the area, so
+    fewer/wider chunks become viable."""
     kk = pl.program_id(2)
+    live = jnp.max(gr_ref[:]) >= jnp.min(gc_ref[:])
 
-    @pl.when(kk == 0)
-    def _init():
-        acc_ref[:] = c_ref[:]
+    @pl.when(live)
+    def _accumulate():
+        @pl.when(kk == 0)
+        def _init():
+            acc_ref[:] = c_ref[:]
 
-    x = x_ref[:]
-    y = y_ref[:]
-    xh = x.astype(jnp.bfloat16)
-    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-    yh = y.astype(jnp.bfloat16)
-    yl = (y - yh.astype(jnp.float32)).astype(jnp.bfloat16)
-    g = lax.dot_general(xh, yh, dn, preferred_element_type=jnp.float32)
-    g = g + lax.dot_general(xl, yh, dn, preferred_element_type=jnp.float32)
-    g = g + lax.dot_general(xh, yl, dn, preferred_element_type=jnp.float32)
-    acc_ref[:] = acc_ref[:] - g
+        x = x_ref[:]
+        y = y_ref[:]
+        xh = x.astype(jnp.bfloat16)
+        xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        yh = y.astype(jnp.bfloat16)
+        yl = (y - yh.astype(jnp.float32)).astype(jnp.bfloat16)
+        g = lax.dot_general(xh, yh, dn, preferred_element_type=jnp.float32)
+        g = g + lax.dot_general(xl, yh, dn,
+                                preferred_element_type=jnp.float32)
+        g = g + lax.dot_general(xh, yl, dn,
+                                preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] - g
 
     @pl.when(kk == nk - 1)
     def _flush():
-        keep = gr_ref[:] >= gc_ref[:]          # (bm, 1) >= (1, bn)
+        # dead blocks never touched acc_ref; keep is all-False there, so the
+        # select reads only c_ref
+        keep = (gr_ref[:] >= gc_ref[:]) & live  # (bm, 1) >= (1, bn)
         o_ref[:] = jnp.where(keep, acc_ref[:], c_ref[:])
 
 

@@ -114,31 +114,44 @@ def main(argv=None):
 
     # A/B the staircase trailing-chunk kernel: XLA dot+select vs the fused
     # masked Pallas accumulator (ops/pallas/trailing.ksub_matmul_masked) —
-    # the knob is threaded as a static jit arg, so each mode compiles its
-    # own program and the winner is what gets reported
+    # both knobs are threaded as static jit args, so each candidate compiles
+    # its own program and the winner is what gets reported. For the pallas
+    # mode the chunk count is also swept: the kernel's dead-block skip makes
+    # wider chunks (fewer launches, block-exact triangle) competitive.
     dist_ab = {}
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    for mode in (("xla", "pallas") if on_tpu else ("xla",)):
+    tch0 = dt.get_tune_parameters().potrf_dist_trail_chunks
+    cands = [("xla", tch0)]
+    if on_tpu:
+        cands += [("pallas", tch) for tch in dict.fromkeys((tch0, 8, 2))]
+    for mode, tch in cands:
         try:
-            dt.set_tune_parameters(potrf_trailing_kernel=mode)
-            dist_ab[mode] = _timeit_donating(dist_fn, mk4, ovh)
-        except Exception as exc:  # noqa: BLE001 - keep the other mode
-            dist_ab[mode] = repr(exc)[:120]
+            dt.set_tune_parameters(potrf_trailing_kernel=mode,
+                                   potrf_dist_trail_chunks=tch)
+            dist_ab[f"{mode}@{tch}"] = _timeit_donating(dist_fn, mk4, ovh)
+        except Exception as exc:  # noqa: BLE001 - keep the other candidates
+            dist_ab[f"{mode}@{tch}"] = repr(exc)[:120]
     timed = {k: v for k, v in dist_ab.items() if isinstance(v, float)}
     best = min(timed, key=timed.get)
-    if on_tpu and best == "pallas":
+    best_mode, best_tch = best.split("@")
+    best_tch = int(best_tch)
+    if on_tpu and best_mode == "pallas":
         # correctness gate: the fused chunk must agree with the XLA chunk
-        dt.set_tune_parameters(potrf_trailing_kernel="pallas")
+        dt.set_tune_parameters(potrf_trailing_kernel="pallas",
+                               potrf_dist_trail_chunks=best_tch)
         yp = dist_fn(mk4())
-        dt.set_tune_parameters(potrf_trailing_kernel="xla")
+        dt.set_tune_parameters(potrf_trailing_kernel="xla",
+                               potrf_dist_trail_chunks=tch0)
         yx = dist_fn(mk4())
         dev = float(jnp.max(jnp.abs(yp - yx)))
         scale = float(jnp.max(jnp.abs(yx)))
         dist_ab["max_dev"] = dev
         del yp, yx
         if dev > 1e-3 * max(scale, 1.0):
-            best = "xla"
-    dt.set_tune_parameters(potrf_trailing_kernel=best)
+            best_mode, best_tch = "xla", tch0
+            best = f"xla@{tch0}"
+    dt.set_tune_parameters(potrf_trailing_kernel=best_mode,
+                           potrf_dist_trail_chunks=best_tch)
     t_dist = timed[best]
     out["potrf_n"] = n
     out["potrf_local_s"] = round(t_loc, 3)
