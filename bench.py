@@ -267,7 +267,10 @@ def main():
         if rem > 300:
             sys.path.insert(0, "/root/repo/scripts")
             import bench_dist
-            bench_dist.main(["--skip-eigh"] if rem < 900 else [])
+            bd_args = ["--budget", str(max(rem - 60, 120))]
+            if rem < 900:
+                bd_args.append("--skip-eigh")
+            bench_dist.main(bd_args)
             with open("/root/repo/BENCH_DIST.json") as f:
                 dist_1x1 = json.load(f)
         else:

@@ -21,8 +21,18 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # env alone is overridden by the sitecustomize axon register(); route
+    # through the config so CPU smoke runs don't hang on a down tunnel
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # backend already live
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -69,7 +79,14 @@ def main(argv=None):
     ap.add_argument("--nb", type=int, default=512)
     ap.add_argument("--ne", type=int, default=8192)
     ap.add_argument("--skip-eigh", action="store_true")
+    ap.add_argument("--budget", type=float, default=float("inf"),
+                    help="wall budget in seconds; skip remaining A/B "
+                         "candidates (and eigh) once exceeded")
     args = ap.parse_args(argv)
+    t_start = time.perf_counter()
+
+    def over_budget():
+        return time.perf_counter() - t_start > args.budget
 
     import dlaf_tpu as dt
     from dlaf_tpu.algos import cholesky as chol
@@ -125,6 +142,9 @@ def main(argv=None):
     if on_tpu:
         cands += [("pallas", tch) for tch in dict.fromkeys((tch0, 8, 2))]
     for mode, tch in cands:
+        if over_budget() and dist_ab:
+            dist_ab[f"{mode}@{tch}"] = "skipped: wall budget"
+            continue
         try:
             dt.set_tune_parameters(potrf_trailing_kernel=mode,
                                    potrf_dist_trail_chunks=tch)
@@ -163,7 +183,7 @@ def main(argv=None):
         for k, v in dist_ab.items()}
     print(json.dumps({k: out[k] for k in out}))
 
-    if not args.skip_eigh:
+    if not args.skip_eigh and not over_budget():
         ne = args.ne
         ah = gen.random_hermitian(jax.random.PRNGKey(2), ne, jnp.float32)
         t_le = _timeit(jax.jit(lambda x: dt.eigh(x)[1]), ah, ovh, reps=2)
