@@ -10,6 +10,11 @@
 # Usage: scripts/run_fast_lane.sh [extra pytest args]
 set -u
 cd "$(dirname "$0")/.."
+# unlimited stack BEFORE exec: the kernel then uses the bottom-up mmap
+# layout, so no mapping lands under the main stack and the cache
+# serializer's deep recursion can actually grow it (the runtime setrlimit
+# in conftest.py cannot move mappings that already block growth)
+ulimit -s unlimited 2>/dev/null || true
 fail=0
 summary=""
 for f in tests/test_*.py; do

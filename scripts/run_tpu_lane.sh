@@ -10,6 +10,8 @@
 #   scripts/run_tpu_lane.sh
 set -u
 cd "$(dirname "$0")/.."
+# see run_fast_lane.sh: pre-exec unlimited stack for the cache serializer
+ulimit -s unlimited 2>/dev/null || true
 DLAF_TPU_TESTS=1 python -m pytest tests -m tpu -q "$@"
 rc=$?
 if [ $rc -eq 0 ]; then
