@@ -82,6 +82,9 @@ def main(argv=None):
     ap.add_argument("--budget", type=float, default=float("inf"),
                     help="wall budget in seconds; skip remaining A/B "
                          "candidates (and eigh) once exceeded")
+    ap.add_argument("--out", default="/root/repo/BENCH_DIST.json",
+                    help="artifact path (point smoke runs at /tmp so they "
+                         "don't clobber the driver-read artifact)")
     args = ap.parse_args(argv)
     t_start = time.perf_counter()
 
@@ -198,7 +201,7 @@ def main(argv=None):
         out["eigh_dist_1x1_s"] = round(t_de, 3)
         out["eigh_dist_over_local"] = round(t_de / t_le, 4)
 
-    with open("/root/repo/BENCH_DIST.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
