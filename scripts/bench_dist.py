@@ -143,7 +143,10 @@ def main(argv=None):
     tch0 = dt.get_tune_parameters().potrf_dist_trail_chunks
     cands = [("xla", tch0)]
     if on_tpu:
-        cands += [("pallas", tch) for tch in dict.fromkeys((tch0, 8, 2))]
+        # 1 = one fused kernel per panel over the whole trailing rectangle:
+        # the masked kernel's dead-block skip makes the triangle block-exact,
+        # so chunking only adds launches
+        cands += [("pallas", tch) for tch in dict.fromkeys((tch0, 8, 2, 1))]
     for mode, tch in cands:
         if over_budget() and dist_ab:
             dist_ab[f"{mode}@{tch}"] = "skipped: wall budget"
