@@ -234,11 +234,15 @@ def band_to_tridiag_auto(band_dense, b: int):
             return band_to_tridiag(band_dense, b)
         from .band_strips import band_to_strips, band_to_tridiag_strips
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        ok_dt = band_dense.dtype in (jnp.float32, jnp.complex64)
+        from ...ops.pallas.band2tridiag import chaser_feasible
+        ok_dt = band_dense.dtype in (jnp.float32, jnp.complex64) and \
+            chaser_feasible(b, band_dense.dtype)
         if kind == "pallas" and not (on_tpu and ok_dt and b >= 8):
             raise ValueError(
                 "band_to_tridiag_kernel='pallas' needs a TPU backend, f32/c64 "
-                f"band data and b >= 8 (got backend={jax.default_backend()!r},"
+                "band data, b >= 8 and a band small enough for the chaser's "
+                "VMEM slots (chaser_feasible) "
+                f"(got backend={jax.default_backend()!r},"
                 f" dtype={band_dense.dtype}, b={b}); use 'auto' or 'strips'")
         if kind == "strips" or (on_tpu and not (ok_dt and b >= 8)):
             strips = band_to_strips(band_dense, b)

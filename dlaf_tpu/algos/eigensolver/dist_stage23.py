@@ -190,8 +190,10 @@ def band_to_tridiag_dist(strips, n_eff: int, b: int, mesh):
     nsweeps = max(n_eff - 2, 1)
     chunk = -(-nsweeps // D)
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    from ...ops.pallas.band2tridiag import chaser_feasible
     use_pallas = on_tpu and b >= 8 and \
-        strips.dtype in (jnp.float32, jnp.complex64)
+        strips.dtype in (jnp.float32, jnp.complex64) and \
+        chaser_feasible(b, strips.dtype)
     return _stage2_dist(strips, n_eff=n_eff, b=b, chunk=chunk,
                         use_pallas=use_pallas, mesh=mesh)
 

@@ -173,6 +173,10 @@ class DistMatrix:
         A <- tril(A) + tril(A,-1)^H for ``lower`` (the transpose runs the
         tile-granular all-to-all / axis-swap path; the triangle merge is a
         local masked combine per shard)."""
+        # the combine computes global indices assuming origin ownership;
+        # a sub-distribution view must be materialized (sub_matrix) first
+        assert self.dist.src_rank == (0, 0), \
+            "symmetrize needs src_rank (0, 0); take sub_matrix() first"
         t = self.transpose(conj=True)
         data = _symmetrize_combine(self.data, t.data,
                                    nb=self.dist.block_size[0], lower=lower,

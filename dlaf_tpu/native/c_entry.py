@@ -74,7 +74,10 @@ def c_ppotrf(uplo: str, n: int, aptr: int, ia: int, ja: int, desca, ctx: int,
     out = fn(uplo, n, np.ascontiguousarray(a), ia, ja, list(desca), ctx)
     # LAPACK-style info: first non-finite diagonal entry of the factor
     # marks the non-SPD leading minor (header contract, dlaf_tpu_c.h)
-    diag = np.diagonal(out)[ia - 1:ia - 1 + n]
+    # submatrix diagonal (ia-1+t, ja-1+t) — NOT np.diagonal (wrong when
+    # ia != ja: it would read the main diagonal outside the factored block)
+    t = np.arange(n)
+    diag = out[ia - 1 + t, ja - 1 + t]
     bad = ~np.isfinite(diag)
     if bad.any():
         return int(np.argmax(bad)) + 1

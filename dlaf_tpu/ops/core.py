@@ -54,22 +54,6 @@ def ct(a):
     return a.conj().T if is_complex_dtype(a.dtype) else a.T
 
 
-def mmt(a, b, precision=None):
-    """``a @ ct(b)`` as a direct last-dim contraction (no HLO transpose op).
-
-    Writing ``a @ b.T`` gives XLA a transpose to fold away; on TPU the layout
-    pass folds it by flipping the dot OUTPUT to column-major, and the flipped
-    layout then propagates through in-place update chains, inserting full-
-    matrix relayout copies at the jit boundary (measured: 2 extra n^2 buffers
-    in distributed POTRF). ``dot_general`` contracting dim 1 against dim 1
-    expresses the same product with no transpose to fold.
-    """
-    if is_complex_dtype(b.dtype):
-        b = b.conj()
-    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               precision=precision or matmul_precision())
-
-
 def tril_mask(n, m=None, k=0, dtype=jnp.bool_):
     m = n if m is None else m
     r = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)

@@ -50,6 +50,23 @@ ALIGN = 128
 # VMEM budget for the window read buffer (leave headroom of the ~16 MB/core
 # for the write/hh scratch and the window temporaries)
 RBUF_BYTES = 10 * 2**20
+# hard feasibility bound on the ACTUAL read-buffer allocation
+# (nw_r * slot_bytes): _slot_counts floors at 3 slots, so past this the
+# kernel cannot fit VMEM at all and selection must fall back to the JAX
+# strips kernel (e.g. f32 b >= 512, c64 b >= 384)
+FEASIBLE_BYTES = 12 * 2**20
+
+
+def chaser_feasible(b: int, dtype) -> bool:
+    """Whether the Pallas chaser's minimum slot configuration fits VMEM for
+    this band size / dtype (two planes for complex)."""
+    import jax.numpy as _jnp
+    planes = 2 if _jnp.issubdtype(dtype, _jnp.complexfloating) else 1
+    slot_bytes = planes * 3 * b * _win_lanes(b) * 4
+    nslots = max(3, min(9, RBUF_BYTES // slot_bytes))
+    depth = min(3, nslots - 1)
+    nw_w = max(1, nslots - depth)
+    return (nw_w + depth) * slot_bytes <= FEASIBLE_BYTES
 
 
 def _params(i, *, nlanes, n, b, nsweeps, ncmax, dead_s0):

@@ -158,6 +158,16 @@ def main(argv=None):
         except Exception as exc:  # noqa: BLE001 - keep the other candidates
             dist_ab[f"{mode}@{tch}"] = repr(exc)[:120]
     timed = {k: v for k, v in dist_ab.items() if isinstance(v, float)}
+    if not timed:
+        # every candidate failed: write the errors as the artifact instead
+        # of crashing on min() of an empty dict (masks the real failure)
+        out["potrf_n"] = n
+        out["error"] = "all dist A/B candidates failed"
+        out["potrf_dist_trailing_ab_s"] = dist_ab
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(out))
+        return
     best = min(timed, key=timed.get)
     best_mode, best_tch = best.split("@")
     best_tch = int(best_tch)
@@ -173,7 +183,7 @@ def main(argv=None):
         scale = float(jnp.max(jnp.abs(yx)))
         dist_ab["max_dev"] = dev
         del yp, yx
-        if dev > 1e-3 * max(scale, 1.0):
+        if dev > 1e-3 * max(scale, 1.0) and f"xla@{tch0}" in timed:
             best_mode, best_tch = "xla", tch0
             best = f"xla@{tch0}"
     dt.set_tune_parameters(potrf_trailing_kernel=best_mode,
