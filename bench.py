@@ -86,10 +86,12 @@ def main():
     t_gemm = _time_donated(gemm_fn, lambda: mk_b(b), ovh)
     peak = 2 * ng**3 / t_gemm / 1e12
 
-    # trailing-kernel self-tuning: A/B the XLA dot+subtract vs the fused
-    # Pallas accumulator (ops/pallas/trailing.py) at n=8192 and keep the
-    # winner for the headline run
-    trailing = "xla"
+    # POTRF self-tuning at n=8192: A/B (trailing kernel) x (block size) and
+    # keep the winner for the headline run — the fused Pallas accumulator
+    # (ops/pallas/trailing.py) vs XLA dot+subtract, and nb=1024's deeper
+    # trailing contractions vs nb=512's cheaper serial diagonal work. Every
+    # non-reference candidate passes a correctness gate before selection.
+    trailing, nb = "xla", 512
     try:
         na = 8192
         aa = gen.random_hermitian_positive_definite(jax.random.PRNGKey(4),
@@ -97,26 +99,39 @@ def main():
         mk = jax.jit(lambda x: x + 0.0)
         ab_times = {}
         outs = {}
-        for mode in ("xla", "pallas"):
-            dt.set_tune_parameters(potrf_trailing_kernel=mode)
-            fn = jax.jit(lambda x: dt.potrf(x, uplo="U", nb=512, clean=False),
-                         donate_argnums=0)
-            ab_times[mode] = _time_donated(fn, lambda: mk(aa), ovh, reps=2)
-            outs[mode] = fn(mk(aa))
-        # correctness gate before trusting the fused kernel on this chip
-        dev = float(jnp.max(jnp.abs(outs["pallas"] - outs["xla"])))
-        scale = float(jnp.max(jnp.abs(outs["xla"])))
-        ab_times["max_dev"] = dev
-        if ab_times["pallas"] < ab_times["xla"] * 0.995 and \
-                dev <= 1e-3 * max(scale, 1.0):
-            trailing = "pallas"
-        del aa, outs
+        cands = [("xla", 512), ("pallas", 512), ("xla", 1024),
+                 ("pallas", 1024)]
+        for mode, nbc in cands:
+            if over_budget() and ab_times:
+                ab_times[f"{mode}@{nbc}"] = "skipped: wall budget"
+                continue
+            try:
+                dt.set_tune_parameters(potrf_trailing_kernel=mode)
+                fn = jax.jit(lambda x, nb_=nbc, m_=mode:
+                             dt.potrf(x, uplo="U", nb=nb_, clean=False),
+                             donate_argnums=0)
+                ab_times[f"{mode}@{nbc}"] = _time_donated(
+                    fn, lambda: mk(aa), ovh, reps=2)
+                outs[f"{mode}@{nbc}"] = fn(mk(aa))
+            except Exception as exc:  # noqa: BLE001 - keep other candidates
+                ab_times[f"{mode}@{nbc}"] = repr(exc)[:120]
+        ref = outs["xla@512"]
+        scale = float(jnp.max(jnp.abs(ref)))
+        timed = {k: v for k, v in ab_times.items() if isinstance(v, float)}
+        best = min(timed, key=timed.get)
+        if best != "xla@512":
+            dev = float(jnp.max(jnp.abs(outs[best] - ref)))
+            ab_times["max_dev"] = dev
+            if timed[best] < timed["xla@512"] * 0.995 and \
+                    dev <= 1e-3 * max(scale, 1.0):
+                trailing, nb = best.split("@")[0], int(best.split("@")[1])
+        del aa, outs, ref
     except Exception:  # noqa: BLE001 - keep the default on any failure
         ab_times = {"error": True}
     dt.set_tune_parameters(potrf_trailing_kernel=trailing)
 
     # POTRF (upper: the layout-native uplo on TPU, see ops/blocked.py)
-    n, nb = 32768, 512
+    n = 32768
     a = gen.random_hermitian_positive_definite(jax.random.PRNGKey(0), n,
                                                jnp.float32)
     potrf_fn = jax.jit(
@@ -310,6 +325,7 @@ def main():
         json.dump({"potrf_tflops": round(tflops, 2),
                    "gemm_ceiling_tflops": round(peak, 2),
                    "potrf_trailing_kernel": trailing,
+                   "potrf_nb": nb,
                    "trailing_ab_seconds": {k: (round(v, 4)
                                                if isinstance(v, float) else v)
                                            for k, v in ab_times.items()},
