@@ -161,3 +161,24 @@ def test_grid_order_column_major():
         assert np.asarray(g2.mesh.devices)[0, 1] == devs[2]
     finally:
         s.dlaf_free_grid(ctx)
+
+
+def test_c_entry_ppotrf_offset_info():
+    """c_ppotrf info must inspect the SUBMATRIX diagonal (ia-1+t, ja-1+t):
+    with ia != ja the main diagonal lies outside the factored block, so a
+    non-SPD sub-block must still yield info > 0 (regression: np.diagonal
+    read finite untouched entries and returned info = 0)."""
+    from dlaf_tpu.native import c_entry
+
+    m, nb, n = 8, 4, 4
+    a = np.zeros((m, m), dtype=np.float32, order="F")
+    np.fill_diagonal(a, 5.0)                      # finite main diagonal
+    a[4:8, 0:4] = -np.eye(4, dtype=np.float32)    # non-SPD target block
+    ctx = c_entry.c_create_grid(1, 1)
+    try:
+        desca = [1, ctx, m, m, nb, nb, 0, 0, m]
+        info = c_entry.c_ppotrf("L", n, a.ctypes.data, 5, 1, desca, ctx,
+                                "float32")
+    finally:
+        c_entry.c_free_grid(ctx)
+    assert info > 0
