@@ -85,3 +85,20 @@ def test_packed_to_strips_matches_extract_band():
     s_ref = bs.band_to_strips(band, b)
     s_new = bs.packed_to_strips(packed, b)
     assert np.allclose(np.asarray(s_ref), np.asarray(s_new))
+
+
+def test_chaser_feasible_table():
+    """VMEM feasibility gate for the Pallas chaser (selection must route
+    infeasible bands to the JAX strips kernel instead of failing Mosaic
+    scoped-memory allocation): 3+ read slots of P*3*b*win_lanes(b) f32."""
+    import jax.numpy as jnp
+
+    from dlaf_tpu.ops.pallas.band2tridiag import chaser_feasible
+
+    assert chaser_feasible(128, jnp.float32)
+    assert chaser_feasible(256, jnp.float32)
+    assert chaser_feasible(384, jnp.float32)
+    assert not chaser_feasible(512, jnp.float32)
+    assert chaser_feasible(128, jnp.complex64)
+    assert chaser_feasible(256, jnp.complex64)
+    assert not chaser_feasible(384, jnp.complex64)
