@@ -137,12 +137,15 @@ def test_ksub_matmul_masked(x_k_major):
     assert np.abs(out - want).max() <= bound, np.abs(out - want).max()
 
 
-def test_dist_potrf_pallas_trailing_interpret(monkeypatch):
+@pytest.mark.parametrize("trail_chunks", [24, 1])
+def test_dist_potrf_pallas_trailing_interpret(monkeypatch, trail_chunks):
     """Distributed POTRF with the fused trailing kernel forced on (interpret
     mode on CPU) matches the XLA path — exercises BOTH fused sites of the
     unrolled shard function: the panel-restricted rank-nb update in
     _tile_step_static (with its pl_end sentinel column bound) and the wide
-    staircase chunks (algos/cholesky.py)."""
+    staircase chunks (algos/cholesky.py). trail_chunks=1 is the
+    single-fused-chunk configuration bench_dist A/Bs (dead-block skip makes
+    the triangle block-exact)."""
     import functools
     from dlaf_tpu.algos import cholesky as chol
     from dlaf_tpu.comm.mesh import Grid
@@ -154,9 +157,12 @@ def test_dist_potrf_pallas_trailing_interpret(monkeypatch):
                                                jnp.float32)
     grid = Grid((2, 2))
     dm = DistMatrix.from_global(a, nb, grid)
-    old = get_tune_parameters().potrf_trailing_kernel
+    tp = get_tune_parameters()
+    old = tp.potrf_trailing_kernel
+    old_tch = tp.potrf_dist_trail_chunks
     try:
-        set_tune_parameters(potrf_trailing_kernel="xla")
+        set_tune_parameters(potrf_trailing_kernel="xla",
+                            potrf_dist_trail_chunks=trail_chunks)
         l0 = np.asarray(chol.cholesky(dm).to_global())
         # cholesky.py imports the kernel entry points by name: patch there
         monkeypatch.setattr(chol, "ksub_available", lambda *a_, **k_: True)
@@ -166,7 +172,8 @@ def test_dist_potrf_pallas_trailing_interpret(monkeypatch):
         set_tune_parameters(potrf_trailing_kernel="pallas")
         l1 = np.asarray(chol.cholesky(dm).to_global())
     finally:
-        set_tune_parameters(potrf_trailing_kernel=old)
+        set_tune_parameters(potrf_trailing_kernel=old,
+                            potrf_dist_trail_chunks=old_tch)
     scale = np.abs(l0).max()
     assert np.abs(l1 - l0).max() <= 1e-3 * scale, np.abs(l1 - l0).max()
 
