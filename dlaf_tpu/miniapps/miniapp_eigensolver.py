@@ -16,9 +16,10 @@ from . import options
 
 def main(argv=None):
     args = options.parser("miniapp_eigensolver").parse_args(argv)
-    n = args.matrix_size
     dtype = options.dtype_of(args)
-    a = gen.random_hermitian(jax.random.PRNGKey(0), n, dtype)
+    a = options.load_input(args, lambda: gen.random_hermitian(
+        jax.random.PRNGKey(0), args.matrix_size, dtype))
+    n = args.matrix_size
     band = args.band_size
 
     grid = options.grid_of(args)
@@ -41,7 +42,15 @@ def main(argv=None):
         ok = orth <= 500 * n * eps(dtype) and res <= 1000 * n * eps(dtype) * c
         return ok, f"orth {orth:.2e} res {res:.2e}"
 
-    options.run_timed(args, fn, 0, check_fn=check)
+    out = options.run_timed(args, fn, 0, check_fn=check)
+    if args.output_file:
+        # reference --output-file contract (miniapp_eigensolver.cpp:169-180):
+        # the input matrix under --input-dataset plus /evals and /evecs
+        from dlaf_tpu.matrix.io import MatrixFile
+        w, v = get(out)
+        MatrixFile(args.output_file).write(**{args.input_dataset: np.asarray(a),
+                                              "/evals": w, "/evecs": v})
+        print(f"output: {args.output_file}")
 
 
 if __name__ == "__main__":

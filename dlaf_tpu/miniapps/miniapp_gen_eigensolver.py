@@ -14,11 +14,26 @@ from . import options
 
 
 def main(argv=None):
-    args = options.parser("miniapp_gen_eigensolver").parse_args(argv)
-    n = args.matrix_size
+    p = options.parser("miniapp_gen_eigensolver")
+    # reference miniapp_gen_eigensolver.cpp:279-280 dataset names
+    p.add_argument("--input-dataset-a", default="/input-a")
+    p.add_argument("--input-dataset-b", default="/input-b")
+    args = p.parse_args(argv)
     dtype = options.dtype_of(args)
-    a = gen.random_hermitian(jax.random.PRNGKey(0), n, dtype)
-    b = gen.random_hermitian_positive_definite(jax.random.PRNGKey(1), n, dtype)
+    if args.input_file:
+        import jax.numpy as jnp
+
+        from dlaf_tpu.matrix.io import MatrixFile
+        f = MatrixFile(args.input_file)
+        a = jnp.asarray(f.read(args.input_dataset_a), dtype)
+        b = jnp.asarray(f.read(args.input_dataset_b), dtype)
+        args.matrix_size = a.shape[0]
+    else:
+        a = gen.random_hermitian(jax.random.PRNGKey(0), args.matrix_size,
+                                 dtype)
+        b = gen.random_hermitian_positive_definite(jax.random.PRNGKey(1),
+                                                   args.matrix_size, dtype)
+    n = args.matrix_size
 
     grid = options.grid_of(args)
     if grid is not None:
@@ -41,7 +56,16 @@ def main(argv=None):
         ok = res <= 2000 * n * eps(dtype) * c and borth <= 2000 * n * eps(dtype)
         return ok, f"res {res:.2e} B-orth {borth:.2e}"
 
-    options.run_timed(args, fn, 0, check_fn=check)
+    out = options.run_timed(args, fn, 0, check_fn=check)
+    if args.output_file:
+        # reference contract (miniapp_gen_eigensolver.cpp:208-211)
+        from dlaf_tpu.matrix.io import MatrixFile
+        w, x = get(out)
+        MatrixFile(args.output_file).write(
+            **{args.input_dataset_a: np.asarray(a),
+               args.input_dataset_b: np.asarray(b),
+               "/evals": w, "/evecs": x})
+        print(f"output: {args.output_file}")
 
 
 if __name__ == "__main__":

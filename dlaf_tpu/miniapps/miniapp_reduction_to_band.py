@@ -16,12 +16,13 @@ from . import options
 
 def main(argv=None):
     args = options.parser("miniapp_reduction_to_band").parse_args(argv)
+    dtype = options.dtype_of(args)
+    a = options.load_input(args, lambda: gen.random_hermitian(
+        jax.random.PRNGKey(0), args.matrix_size, dtype))
     n = args.matrix_size
     band = args.band_size or min(args.block_size, 128)
     if n % band:
         raise SystemExit("matrix-size must be a multiple of band-size")
-    dtype = options.dtype_of(args)
-    a = gen.random_hermitian(jax.random.PRNGKey(0), n, dtype)
 
     grid = options.grid_of(args)
     if grid is not None:
@@ -44,7 +45,14 @@ def main(argv=None):
         err = np.max(np.abs(ev - ref)) / max(np.max(np.abs(ref)), 1)
         return err <= 500 * n * eps(dtype), f"eig err {err:.2e}"
 
-    options.run_timed(args, fn, flops, check_fn=check)
+    out = options.run_timed(args, fn, flops, check_fn=check)
+    if args.output_file:
+        # reference contract (miniapp_reduction_to_band.cpp:184-185): the
+        # input matrix plus the reduced (band + reflectors) matrix
+        from dlaf_tpu.matrix.io import MatrixFile
+        MatrixFile(args.output_file).write(
+            **{args.input_dataset: np.asarray(a), "/band": get_packed(out)})
+        print(f"output: {args.output_file}")
 
 
 if __name__ == "__main__":

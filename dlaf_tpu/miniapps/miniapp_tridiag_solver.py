@@ -14,12 +14,27 @@ from . import options
 
 
 def main(argv=None):
-    args = options.parser("miniapp_tridiag_solver").parse_args(argv)
-    n = args.matrix_size
+    p = options.parser("miniapp_tridiag_solver")
+    p.set_defaults(input_dataset="/tridiag")  # reference default dataset
+    args = p.parse_args(argv)
     dtype = options.dtype_of(args)
-    key = jax.random.PRNGKey(0)
-    d = gen.random_general(key, (n,), dtype)
-    e = gen.random_general(jax.random.PRNGKey(1), (max(n - 1, 1),), dtype)[: n - 1]
+    if args.input_file:
+        # reference layout (miniapp_tridiag_solver.cpp:109): an (n, 2) real
+        # matrix, column 0 = diagonal, column 1 = off-diagonal (last unused)
+        import jax.numpy as jnp
+
+        from dlaf_tpu.matrix.io import MatrixFile
+        td = np.asarray(MatrixFile(args.input_file).read(args.input_dataset))
+        args.matrix_size = td.shape[0]
+        d = jnp.asarray(td[:, 0], dtype)
+        e = jnp.asarray(td[:-1, 1], dtype)
+    else:
+        d = gen.random_general(jax.random.PRNGKey(0), (args.matrix_size,),
+                               dtype)
+        e = gen.random_general(jax.random.PRNGKey(1),
+                               (max(args.matrix_size - 1, 1),),
+                               dtype)[: args.matrix_size - 1]
+    n = args.matrix_size
 
     grid = options.grid_of(args)
     if grid is not None:

@@ -36,7 +36,30 @@ def parser(name: str) -> argparse.ArgumentParser:
                    help="write a JAX profiler trace of the timed runs to "
                         "DIR (view with tensorboard / xprof; the analog of "
                         "the reference's per-run timing instrumentation)")
+    p.add_argument("--input-file", default=None, metavar="FILE",
+                   help="load the input matrix from FILE instead of "
+                        "generating it (.h5/.hdf5 in the reference's HDF5 "
+                        "layout, else .npz; reference "
+                        "miniapp_eigensolver.cpp --input-file)")
+    p.add_argument("--input-dataset", default="/input",
+                   help="dataset name inside --input-file (default /input)")
+    p.add_argument("--output-file", default=None, metavar="FILE",
+                   help="write the input matrix and results of the last "
+                        "run to FILE (reference --output-file contract: "
+                        "input dataset + /evals + /evecs)")
     return p
+
+
+def load_input(args, default_gen):
+    """Input matrix: --input-file dataset if given (cast to --type, size
+    overridden by the file), else ``default_gen()``. Returns the array and
+    updates ``args.matrix_size`` to match."""
+    if not args.input_file:
+        return default_gen()
+    from ..matrix.io import MatrixFile
+    a = MatrixFile(args.input_file).read(args.input_dataset)
+    args.matrix_size = a.shape[0]
+    return jnp.asarray(a, dtype_of(args))
 
 
 def _ensure_platform(args):
