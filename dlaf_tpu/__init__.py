@@ -25,6 +25,13 @@ def eigh_gen(*args, **kw):
     return _eigh_gen(*args, **kw)
 
 
+def eigh_large(*args, **kw):
+    """Memory-planned stage-split eigensolver for contract-scale n
+    (consumes its input); see algos.eigensolver.large.eigh_large."""
+    from .algos.eigensolver.large import eigh_large as _eigh_large
+    return _eigh_large(*args, **kw)
+
+
 def hegst(*args, **kw):
     """Generalized-to-standard transform; see algos.gen_to_std."""
     from .algos.gen_to_std import generalized_to_standard
@@ -60,6 +67,6 @@ __version__ = "0.1.0"
 __all__ = [
     "dist", "ops", "types",
     "potrf", "potrf_info", "trsm", "trmm", "hemm", "herk", "gemm",
-    "eigh", "eigh_gen", "eigvalsh", "hegst",
+    "eigh", "eigh_gen", "eigh_large", "eigvalsh", "hegst",
     "TuneParameters", "get_tune_parameters", "set_tune_parameters",
 ]

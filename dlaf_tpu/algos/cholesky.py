@@ -241,6 +241,147 @@ def _tile_step_static(pan, kt, *, nb, lnt, offr, pl_c0, pl_c1, pl_end,
     return pan, w, wtT
 
 
+def _tile_step_static_u(pan, kt, *, nb, lmt, offc, pl_r0, pl_r1, pl_end,
+                        row_tile, col_tile, glob_row, glob_col,
+                        trailing_kernel="xla"):
+    """Upper-uplo mirror of :func:`_tile_step_static` (A = U^H U): panels are
+    block ROWS, the panel solve is a LEFT solve U_kj = U_kk^-H A_kj, the
+    solved row panel broadcasts down the grid COLUMN, and the trailing
+    update subtracts U(kt,i)^H U(kt,j) on the stored upper triangle —
+    the native distributed ``call_U`` the reference implements at
+    ``factorization/cholesky/impl.h:351`` (round-3 review gap: U used to
+    pay an O(n^2) transpose round-trip at the API layer).
+
+    ``pan`` is the extracted panel buffer: the panel's local rows
+    [pl_r0, pl_r1) x the window's local columns [offc, lnt).
+    """
+    p = lax.axis_index(ROW_AXIS)
+    q = lax.axis_index(COL_AXIS)
+    Pn = lax.axis_size(ROW_AXIS)
+    Qn = lax.axis_size(COL_AXIS)
+    owner_p, owner_q = kt % Pn, kt % Qn
+    lk_r, lk_c = kt // Pn, kt // Qn
+    c0g = offc * nb
+    jr = (lk_r - pl_r0) * nb           # panel-local row offset
+    d0, d1 = (lk_c - offc) * nb, (lk_c - offc + 1) * nb
+
+    # 1. factor + 2-D broadcast of the diagonal tile
+    tile = pan[jr:jr + nb, d0:d1]
+    ukk = leaf.potrf_leaf(tile, upper=True)
+    ukk = coll.bcast2d(ukk, (owner_p, owner_q), (ROW_AXIS, COL_AXIS))
+
+    # 2. row-panel solve on the owning grid row (window cols only):
+    #    U_kj = U_kk^-H A_kj as ONE wide MXU GEMM
+    slab = pan[jr:jr + nb, :]
+    solved = jnp.matmul(ct(tri_inv(ukk, lower=False, nb=64)), slab,
+                        precision=matmul_precision())
+    right = (col_tile[offc:].repeat(nb) > kt)[None, :]
+    newslab = jnp.where(right, solved, slab)
+    cur = newslab[:, d0:d1]
+    merged = jnp.where(jnp.triu(jnp.ones((nb, nb), jnp.bool_)), ukk, cur)
+    newslab = newslab.at[:, d0:d1].set(jnp.where(q == owner_q, merged, cur))
+    pan = pan.at[jr:jr + nb, :].set(jnp.where(p == owner_p, newslab, slab))
+
+    # 3. column-axis broadcast of the solved row panel
+    wl = jnp.where(right, newslab, jnp.zeros_like(newslab))
+    w = coll.bcast(jnp.where(p == owner_p, wl, jnp.zeros_like(wl)),
+                   owner_p, ROW_AXIS)
+
+    # 4. transposed panel for local rows >= the panel start: block row i
+    #    holds U(kt, i)^H (clamp-into-padding invariant as in the L path)
+    wt = panel.take_tiles(panel.all_tiles(w, COL_AXIS, nb),
+                          row_tile[pl_r0:] - offc * Qn)
+    wt = jnp.conj(wt.transpose(0, 2, 1)).reshape((lmt - pl_r0) * nb, nb)
+    wt = jnp.where((row_tile[pl_r0:].repeat(nb) > kt)[:, None], wt,
+                   jnp.zeros_like(wt))
+
+    # 5. panel-restricted rank-nb trailing update on the remaining panel rows
+    pu_r0 = max(pl_r0, (kt + 1) // Pn)
+    if pu_r0 < pl_r1:
+        o = (pu_r0 - pl_r0) * nb
+        ph = (pl_r1 - pl_r0) * nb
+        xch = wt[o:ph]
+        upd = jnp.matmul(xch, w, precision=matmul_precision())
+        mask = (glob_row[pu_r0 * nb:pl_r1 * nb, None] <=
+                glob_col[None, c0g:]) & \
+            (row_tile[pu_r0:pl_r1].repeat(nb) < pl_end)[:, None]
+        pan = pan.at[o:].set(pan[o:] - jnp.where(mask, upd, 0))
+    return pan, w, wt
+
+
+def _dist_potrf_unrolled_shardfn_u(a4, *, nb, nrt, wt_tiles,
+                                   trail_chunks, trailing_kernel="xla"):
+    """Upper-uplo unrolled panel loop (mirror of
+    :func:`_dist_potrf_unrolled_shardfn`; see :func:`_tile_step_static_u`)."""
+    a = a4[0, 0]
+    p = lax.axis_index(ROW_AXIS)
+    q = lax.axis_index(COL_AXIS)
+    Pn = lax.axis_size(ROW_AXIS)
+    Qn = lax.axis_size(COL_AXIS)
+    lm, ln = a.shape
+    lmt, lnt = lm // nb, ln // nb
+    row_tile = jnp.arange(lmt) * Pn + p
+    col_tile = jnp.arange(lnt) * Qn + q
+    glob_row = row_tile.repeat(nb) * nb + jnp.tile(jnp.arange(nb), lmt)
+    glob_col = col_tile.repeat(nb) * nb + jnp.tile(jnp.arange(nb), lnt)
+
+    npanels = -(-nrt // wt_tiles)
+    for pk in range(npanels):
+        kt0 = pk * wt_tiles
+        offc = kt0 // Qn
+        pl_r0 = kt0 // Pn
+        pl_r1 = min(pl_r0 + wt_tiles // Pn, lmt)
+        c0 = offc * nb
+        pan = a[pl_r0 * nb:pl_r1 * nb, c0:]
+        ws, wts = [], []
+        for j in range(wt_tiles):
+            kt = kt0 + j
+            if kt >= nrt:
+                break
+            pan, w, wtj = _tile_step_static_u(
+                pan, kt, nb=nb, lmt=lmt, offc=offc, pl_r0=pl_r0,
+                pl_r1=pl_r1, pl_end=kt0 + wt_tiles, row_tile=row_tile,
+                col_tile=col_tile, glob_row=glob_row, glob_col=glob_col,
+                trailing_kernel=trailing_kernel)
+            ws.append(w)
+            wts.append(wtj)
+        a = a.at[pl_r0 * nb:pl_r1 * nb, c0:].set(pan)
+        if pl_r1 >= lmt:
+            continue
+
+        # wide staircase trailing update over local row tiles [pl_r1, lmt):
+        # row chunks, each chunk's columns starting at its conservative
+        # diagonal tile (upper mirror of the L staircase)
+        wide = jnp.concatenate(ws, axis=0)                     # (wt*nb, ln_w)
+        wide_t = jnp.concatenate(wts, axis=1)[(pl_r1 - pl_r0) * nb:]
+        lmt_tr = lmt - pl_r1
+        nch = min(trail_chunks, lmt_tr)
+        rw = -(-lmt_tr // nch)
+        for r0 in range(pl_r1, lmt, rw):
+            r1 = min(lmt, r0 + rw)
+            gmin = r0 * Pn   # min global row tile of the chunk over ranks
+            t0 = min(max(offc, -(-(gmin - Qn + 1) // Qn)), lnt - 1)
+            ych = wide[:, (t0 - offc) * nb:]
+            xch = wide_t[(r0 - pl_r1) * nb:(r1 - pl_r1) * nb]
+            ach = a[r0 * nb:r1 * nb, t0 * nb:]
+            if trailing_kernel == "pallas" and \
+                    ksub_available(ach, xch, ych, x_k_major=False):
+                # same fused kernel as L: the (i <= j) upper mask maps onto
+                # the kernel's (gr >= gc) epilogue by negating both vectors
+                gr = (-glob_row[r0 * nb:r1 * nb, None]).astype(jnp.int32)
+                gc = (-glob_col[None, t0 * nb:]).astype(jnp.int32)
+                a = a.at[r0 * nb:r1 * nb, t0 * nb:].set(
+                    ksub_matmul_masked(ach, xch, ych, gr, gc,
+                                       x_k_major=False))
+                continue
+            u = jnp.matmul(xch, ych, precision=matmul_precision())
+            triu = glob_row[r0 * nb:r1 * nb, None] <= \
+                glob_col[None, t0 * nb:]
+            a = a.at[r0 * nb:r1 * nb, t0 * nb:].set(
+                ach - jnp.where(triu, u, jnp.zeros_like(u)))
+    return a[None, None]
+
+
 def _dist_potrf_unrolled_shardfn(a4, *, nb, nrt, wt_tiles,
                                  trail_chunks, trailing_kernel="xla"):
     """Python-unrolled panel loop: each wide panel gets exact static window
@@ -420,9 +561,13 @@ def _dist_potrf_shardfn(a4, *, nb, nrt, wt_tiles, trail_chunks):
 
 
 def _dist_potrf_impl(data, *, nb, nrt, wt_tiles, mesh, unroll,
-                     trail_chunks, trailing_kernel="xla"):
+                     trail_chunks, trailing_kernel="xla", uplo="L"):
     spec = P(ROW_AXIS, COL_AXIS, None, None)
-    if unroll:
+    if uplo == "U":
+        assert unroll, "native distributed upper POTRF is unrolled-only"
+        shardfn = functools.partial(_dist_potrf_unrolled_shardfn_u,
+                                    trailing_kernel=trailing_kernel)
+    elif unroll:
         shardfn = functools.partial(_dist_potrf_unrolled_shardfn,
                                     trailing_kernel=trailing_kernel)
     else:
@@ -437,11 +582,11 @@ def _dist_potrf_impl(data, *, nb, nrt, wt_tiles, mesh, unroll,
 
 _dist_potrf = functools.partial(jax.jit, static_argnames=(
     "nb", "nrt", "wt_tiles", "mesh", "unroll",
-    "trail_chunks", "trailing_kernel"))(_dist_potrf_impl)
+    "trail_chunks", "trailing_kernel", "uplo"))(_dist_potrf_impl)
 # in-place variant (reference potrf overwrites A): halves peak HBM at scale
 _dist_potrf_donate = functools.partial(jax.jit, static_argnames=(
     "nb", "nrt", "wt_tiles", "mesh", "unroll", "trail_chunks",
-    "trailing_kernel"), donate_argnums=(0,))(_dist_potrf_impl)
+    "trailing_kernel", "uplo"), donate_argnums=(0,))(_dist_potrf_impl)
 
 # The factorization body computes in column-major (the bf16_3x dots prefer
 # it), so row-major canonical inputs/outputs pay one full-shard relayout
@@ -485,37 +630,49 @@ def _input_is_cm(data) -> bool:
 UNROLL_MAX_PANELS = 32
 
 
-def cholesky(a: DistMatrix, donate: bool = False) -> DistMatrix:
-    """Distributed lower Cholesky: factor in the global lower triangle, the
-    strict upper triangle keeps the original content (reference semantics).
+def cholesky(a: DistMatrix, donate: bool = False,
+             uplo: str = "L") -> DistMatrix:
+    """Distributed Cholesky: factor in the global ``uplo`` triangle, the
+    opposite strict triangle keeps the original content (reference
+    semantics; ``uplo="U"`` is the native distributed ``call_U``,
+    reference ``factorization/cholesky/impl.h:351`` — row panels +
+    left solves, no transpose round-trip).
 
-    Wide-panel k-loop: each panel of ``wt_tiles`` block columns is factored
-    with panel-restricted rank-nb updates, then the trailing matrix gets ONE
-    k = wt*nb GEMM — the same flops at MXU-efficient contraction depth
-    (the per-tile loop's rank-nb full-trailing updates ran at < half the
-    GEMM ceiling).
+    Wide-panel k-loop: each panel of ``wt_tiles`` block columns (rows for U)
+    is factored with panel-restricted rank-nb updates, then the trailing
+    matrix gets ONE k = wt*nb GEMM — the same flops at MXU-efficient
+    contraction depth (the per-tile loop's rank-nb full-trailing updates
+    ran at < half the GEMM ceiling).
     """
     m, n = a.dist.size
     assert m == n, "cholesky needs a square matrix"
+    assert uplo in ("L", "U"), uplo
     nb = a.block_size
     nrt = a.dist.nr_tiles[0]
-    Qn = a.grid.grid_size[1]
+    Pn, Qn = a.grid.grid_size
     tune = get_tune_parameters()
-    # panel width, a multiple of Q tiles (contiguous local cols)
-    wt_tiles = Qn * max(1, -(-tune.potrf_dist_panel_width // (nb * Qn)))
-    wt_tiles = min(wt_tiles, max(Qn, (nrt // Qn) * Qn or Qn))
+    # panel width, a multiple of Q tiles (contiguous local cols); for U the
+    # panel is a block ROW, so the multiple is of P tiles
+    ax = Pn if uplo == "U" else Qn
+    wt_tiles = ax * max(1, -(-tune.potrf_dist_panel_width // (nb * ax)))
+    wt_tiles = min(wt_tiles, max(ax, (nrt // ax) * ax or ax))
     npanels = -(-nrt // wt_tiles)
     unroll = npanels <= UNROLL_MAX_PANELS
+    if uplo == "U" and not unroll:
+        # the native U path is unrolled-only: widen panels until it fits
+        wt_tiles = ax * (-(-nrt // (UNROLL_MAX_PANELS * ax)))
+        npanels = -(-nrt // wt_tiles)
+        unroll = True
     tch = max(1, tune.potrf_dist_trail_chunks)
     tk = tune.potrf_trailing_kernel
-    if donate and _input_is_cm(a.data):
+    if donate and uplo == "L" and _input_is_cm(a.data):
         out = _dist_potrf_cm(nb, nrt, wt_tiles, unroll, a.grid, tch,
                              tk)(a.data)
     else:
         jitfn = _dist_potrf_donate if donate else _dist_potrf
         out = jitfn(a.data, nb=nb, nrt=nrt, wt_tiles=wt_tiles,
                     mesh=a.grid.mesh, unroll=unroll, trail_chunks=tch,
-                    trailing_kernel=tk)
+                    trailing_kernel=tk, uplo=uplo)
     return DistMatrix(out, a.dist, a.grid)
 
 

@@ -90,8 +90,9 @@ def wy_group_vt(vs_g, taus_g, sel):
     return v, t
 
 
-@functools.partial(jax.jit, static_argnames=("b", "group_size"))
-def bt_band_to_tridiag(e_mat, vs, taus, b: int, group_size: int = 64):
+@functools.partial(jax.jit, static_argnames=("b", "group_size", "pad_sweeps"))
+def bt_band_to_tridiag(e_mat, vs, taus, b: int, group_size: int = 64,
+                       sweep_lo=0, pad_sweeps: int | None = None):
     """E <- Q_stage2 E with grouped compact-WY application.
 
     The reference groups reflector applications per eigenvector tile
@@ -103,6 +104,15 @@ def bt_band_to_tridiag(e_mat, vs, taus, b: int, group_size: int = 64):
     the columns are sweep-descending — an exact linear extension of the
     original per-reflector order (only (higher sweep, lower c) pairs
     overlap (lower sweep, higher c) ones).
+
+    With ``sweep_lo`` (traced) the record covers absolute sweeps
+    [sweep_lo, sweep_lo + vs.shape[0]): callers holding a sweep-chunked
+    record (the O(n^2) piece the n=32768 pipeline cannot keep whole,
+    see algos/eigensolver/large.py) apply the chunks in DESCENDING
+    sweep_lo order, which — with chunk boundaries at multiples of
+    ``group_size`` — reproduces the unchunked application order exactly.
+    ``pad_sweeps`` (static) must then bound sweep_lo + the padded chunk
+    length so the workspace shape is chunk-independent (one compile).
     """
     if b == 1:
         return e_mat
@@ -118,12 +128,14 @@ def bt_band_to_tridiag(e_mat, vs, taus, b: int, group_size: int = 64):
         taus = jnp.concatenate(
             [taus, jnp.zeros((nspad - nsweeps, ncmax), dt)], axis=0)
 
-    pad_rows = nspad + ncmax * b + g - n
+    pad_rows = (nspad if pad_sweeps is None else pad_sweeps) \
+        + ncmax * b + g - n
     ep = jnp.concatenate([e_mat, jnp.zeros((max(pad_rows, 0), nev), dt)],
                          axis=0)
     sel = wy_select_tensor(g, b, dt)
     win = b + g - 1
     conj = (lambda x: jnp.conj(x)) if is_complex_dtype(dt) else (lambda x: x)
+    lo = jnp.asarray(sweep_lo, jnp.int32)
 
     def chase_step(c, carry):
         s0, ep = carry
@@ -131,7 +143,7 @@ def bt_band_to_tridiag(e_mat, vs, taus, b: int, group_size: int = 64):
         v, t = wy_group_vt(
             lax.dynamic_slice(vs, (s0, c, jnp.int32(0)), (g, 1, b))[:, 0],
             lax.dynamic_slice(taus, (s0, c), (g, 1))[:, 0], sel)
-        r0 = s0 + 1 + c * b
+        r0 = lo + s0 + 1 + c * b
         blk = lax.dynamic_slice(ep, (r0, jnp.int32(0)), (win, nev))
         # E <- Q^H E = E - V T^H (V^H E)
         w = jnp.matmul(ct(v), blk, precision=matmul_precision())

@@ -1,0 +1,175 @@
+"""Memory-planned local eigensolver for contract-scale problems.
+
+``eigh_large`` runs the same five-stage pipeline as :func:`driver.eigh`
+(reference ``Eigensolver<B,D,T>::call``, ``eigensolver/eigensolver/impl.h:38-95``)
+but as SEPARATE jitted stages with an explicit HBM plan, sized for
+n = 32768 f32 on a 16 GB chip (~14 GiB allocatable; the naive single-jit
+pipeline needs ~5-6 n^2 live f32 buffers = 20-24 GB and OOMs — round-3
+``BENCH_r03.json: heev_32768 RESOURCE_EXHAUSTED``):
+
+  1. reduction_to_band, donating the input:       peak ~2 n^2
+  2. strips from the packed band (O(n b)); one chase pass recording
+     NOTHING produces (d, e):                     peak n^2 + O(n b)
+  3. tridiagonal D&C with the j-chunked top merge (see
+     tridiag_dc._merge_vectors): peak qt + qnewT = 2 n^2, pinned extras
+     only ``packed`` (n^2) + strips
+  4. stage-2 back-transform in ``rec_chunks`` sweep chunks: each chunk
+     RE-CHASES the O(n b) band recording only its n^2/rec_chunks slice of
+     reflectors, then applies it (grouped compact-WY). The band re-chase
+     is O(n^2 b) flops — cheap next to the O(n^3) it unblocks; trading
+     ~2 extra chase passes for never holding the full n^2 record is the
+     same storage-vs-recompute decision the reference makes by keeping
+     stage 2 on the O(n b) 1-D band layout
+     (``band_to_tridiag/mc.h:438-662``, ``get_1d_block_size.h:19-21``).
+  5. stage-1 back-transform (donating the eigenvector matrix).
+
+The host is NEVER involved: the tunnel moves ~0.02 GB/s, so a single n^2
+round-trip would cost minutes.
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ...tune import get_tune_parameters
+from .band_strips import band_to_tridiag_strips, packed_to_strips
+from .driver import get_band_size
+from .red2band import reduction_to_band
+from .tridiag_dc import tridiag_eigh
+
+
+@jax.jit
+def _fence_val(y):
+    return y.ravel()[-1]
+
+
+def _fence(x):
+    float(_fence_val(x))
+
+
+# stage wrappers are memoized at module scope: a fresh jax.jit per
+# eigh_large call would re-trace and re-load the executable every run
+# (measured 20s warm vs 2s at n=8192 before memoization)
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _s1_fn(b: int):
+    return jax.jit(lambda x: reduction_to_band(x, b), donate_argnums=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _strips_fn(b: int):
+    return jax.jit(lambda p: packed_to_strips(p, b))
+
+
+@functools.lru_cache(maxsize=None)
+def _s3_fn(laed4: int):
+    return jax.jit(lambda dd, ee: tridiag_eigh(dd, ee, laed4))
+
+
+@functools.lru_cache(maxsize=None)
+def _s4_fn(b: int, gsz: int, pad_sweeps: int):
+    from .bt import bt_band_to_tridiag
+    return jax.jit(
+        lambda qq, vv, tt, lo_: bt_band_to_tridiag(
+            qq, vv, tt, b, group_size=gsz, sweep_lo=lo_,
+            pad_sweeps=pad_sweeps),
+        donate_argnums=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _s5_fn(b: int):
+    from .bt import bt_reduction_to_band
+    return jax.jit(lambda qq, pp, tt: bt_reduction_to_band(qq, pp, tt, b),
+                   donate_argnums=0)
+
+
+def _chase(strips, n: int, b: int, sweep_lo, sweep_chunk):
+    """One full bulge-chase pass over strip storage, recording only sweeps
+    [sweep_lo, sweep_lo + sweep_chunk); kernel choice as in
+    band2tridiag.band_to_tridiag_auto (Pallas DMA chaser on TPU f32/c64)."""
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu and strips.dtype in (jnp.float32, jnp.complex64) and b >= 8:
+        from ...ops.pallas.band2tridiag import (band_to_tridiag_strips_pallas,
+                                                chaser_feasible)
+        if chaser_feasible(b, strips.dtype):
+            return band_to_tridiag_strips_pallas(
+                strips, n, b, sweep_lo=sweep_lo, sweep_chunk=sweep_chunk)
+    return band_to_tridiag_strips(strips, n, b, sweep_lo=sweep_lo,
+                                  sweep_chunk=sweep_chunk)
+
+
+def eigh_large(a, band: int | None = None, rec_chunks: int = 2,
+               timers: bool = False):
+    """Eigendecomposition of hermitian ``a`` (lower triangle referenced),
+    staged for minimal peak HBM. CONSUMES (donates) ``a``.
+
+    Returns (w, v) — or (w, v, stage_seconds) with ``timers`` — matching
+    :func:`driver.eigh` (eigenvalues ascending, eigenvectors in columns).
+    Requires n divisible by the band size and n > band (the contract-scale
+    bench shapes; general shapes go through ``driver.eigh``).
+    """
+    tune = get_tune_parameters()
+    n = a.shape[0]
+    b = band or get_band_size(tune.default_block_size)
+    gsz = tune.bt_band_to_tridiag_hh_apply_group_size
+    if n % b or n <= b:
+        raise ValueError(f"eigh_large needs n % band == 0 and n > band "
+                         f"(n={n}, band={b}); use driver.eigh")
+    if jnp.issubdtype(a.dtype, jnp.complexfloating):
+        raise ValueError("eigh_large is real-only (no subdiagonal phase "
+                         "normalization); use driver.eigh for complex")
+    nsweeps = n - 2
+    # chunk length: multiple of the WY group size so chunked application
+    # is an exact reproduction of the unchunked descending order
+    per_chunk = -(-nsweeps // rec_chunks)            # ceil split
+    chunk = -(-per_chunk // gsz) * gsz               # round up to gsz
+    nchunks = -(-nsweeps // chunk)
+
+    stage_s: dict[str, float] = {}
+
+    def tick(name, t0, out):
+        if timers:
+            _fence(out)   # block_until_ready does not block on this backend
+            stage_s[name] = time.perf_counter() - t0
+        return time.perf_counter()
+
+    t0 = time.perf_counter()
+    # ---- stage 1: reduction to band (donates a) -------------------------
+    packed, taus1 = _s1_fn(b)(a)
+    del a
+    t0 = tick("stage1_red2band", t0, packed)
+
+    # ---- stage 2: strips + one recording-nothing chase -> (d, e) --------
+    strips = _strips_fn(b)(packed)
+    d, e, _vs0, _t0 = _chase(strips, n, b, sweep_lo=nsweeps + 1,
+                             sweep_chunk=gsz)
+    del _vs0, _t0
+    t0 = tick("stage2_band2tridiag", t0, e)
+
+    # ---- stage 3: tridiagonal D&C (j-chunked top merge) ------------------
+    w, q = _s3_fn(tune.laed4_max_iter)(d, e)
+    t0 = tick("stage3_tridiag_dc", t0, q)
+
+    # ---- stage 4: stage-2 back-transform, chunked re-chase + apply ------
+    apply_fn = _s4_fn(b, gsz, nchunks * chunk)
+    for ci in range(nchunks - 1, -1, -1):    # descending sweep order
+        lo = ci * chunk
+        vs_c, taus_c = _chase(strips, n, b, sweep_lo=lo,
+                              sweep_chunk=chunk)[2:]
+        q = apply_fn(q, vs_c, taus_c, lo)
+        del vs_c, taus_c
+    del strips
+    t0 = tick("stage4_bt_band2tridiag", t0, q)
+
+    # ---- stage 5: stage-1 back-transform (donates q) ---------------------
+    q = _s5_fn(b)(q, packed, taus1)
+    del packed, taus1
+    tick("stage5_bt_red2band", t0, q)
+
+    if timers:
+        return w, q, stage_s
+    return w, q

@@ -165,8 +165,11 @@ def _jacobi_eigh(a):
 def _merge(d, z, rho, tol_scale, laed4_iter):
     """Eigen-analysis of diag(d) + rho z z^T (rho >= 0) with deflation.
 
-    Returns (lam, zhat, dsort, perm, mu, deflated, rots, dd); eigenvalues are
-    lam = dsort + mu in d-sorted order (NOT resorted yet).
+    Returns (lam, zhat, dsort, perm, mu, deflated, rots); eigenvalues are
+    lam = dsort + mu in d-sorted order (NOT resorted yet). All O(n^2)
+    pole-difference tables are expressed as outer differences of ``dsort``
+    so XLA fuses them into their reductions instead of materializing an
+    (n, n) buffer (4 GB at the n=32768 top-level merge).
     """
     n = d.shape[0]
     dt = d.dtype
@@ -221,13 +224,12 @@ def _merge(d, z, rho, tol_scale, laed4_iter):
     delta = jnp.where(has_next, ds[next_i] - ds, top_delta)
     delta = jnp.maximum(delta, jnp.finfo(dt).tiny)
 
-    dd = ds[None, :] - ds[:, None]          # dd[i, j] = ds_j - ds_i
     z2r = zmask * zmask
     tiny = jnp.finfo(dt).tiny * 1e4
 
     def fval(mu):
         """f at lam = ds_i + mu (mu-based; only used for the side decision)."""
-        den = dd - mu[:, None]
+        den = ds[None, :] - (ds + mu)[:, None]   # ds_j - ds_i - mu_i
         safe = jnp.where(jnp.abs(den) < tiny,
                          jnp.where(den < 0, -tiny, tiny), den)
         return 1.0 + rho * jnp.sum(z2r[None, :] / safe, axis=1)
@@ -296,6 +298,7 @@ def _merge(d, z, rho, tol_scale, laed4_iter):
     idxs = jnp.arange(n)
     offdiag = idxs[:, None] != idxs[None, :]
     num = (ds[anchor][None, :] - ds[:, None]) + (sgn * troot)[None, :]
+    dd = ds[None, :] - ds[:, None]          # dd[i, j] = ds_j - ds_i (fused)
     safe_den = jnp.where(offdiag & (dd != 0), dd, 1.0)
     ratio = jnp.where(offdiag, num / safe_den, 1.0)
     ratio = jnp.where(offdiag & (dd == 0), 1.0, ratio)
@@ -305,10 +308,11 @@ def _merge(d, z, rho, tol_scale, laed4_iter):
     zhat = jnp.where(deflated, 0.0, zhat)
 
     root = (anchor, sgn, troot)
-    return lam, zhat, ds, perm, root, deflated, rots, dd
+    return lam, zhat, ds, perm, root, deflated, rots
 
 
-def _merge_vectors(qleft_t, qright_t, lam, zhat, perm, root, deflated, rots, dd):
+def _merge_vectors(qleft_t, qright_t, lam, zhat, perm, root, deflated, rots,
+                   ds, j_chunk: int | None = None):
     """Assemble eigenvectors after a merge and sort ascending.
 
     The eigenvector matrix is carried TRANSPOSED (qT[j, r] = q[r, j]):
@@ -316,14 +320,23 @@ def _merge_vectors(qleft_t, qright_t, lam, zhat, perm, root, deflated, rots, dd)
     are the (slow) minor/lane dimension — in transposed storage they become
     fast major-dimension row slices/gathers, and the final MXU contraction
     consumes qT directly via dot_general (no materialized transpose).
+
+    With ``j_chunk`` (static; huge top-level merges only) the rank-one
+    eigenvector table qv is never materialized: the contraction runs as a
+    fori_loop over j-chunks with the qv chunk fused from (zhat, ds, root)
+    inside each step, cutting the merge's peak HBM from qt+qv+qnew (3 n^2)
+    to qt+qnew (2 n^2) — the difference between fitting and OOM at
+    n = 32768 on a 16 GB chip.
     """
     n = lam.shape[0]
     dt = lam.dtype
     n1 = qleft_t.shape[0]
+    # build qt directly at permuted positions (scatter) instead of building
+    # then gathering with qt[perm] — avoids a second transient (n, n) buffer
+    inv = jnp.argsort(perm)             # inv[j] = destination row of source j
     qt = jnp.zeros((n, n), dt)
-    qt = qt.at[:n1, :n1].set(qleft_t)
-    qt = qt.at[n1:, n1:].set(qright_t)
-    qt = qt[perm, :]                    # q[:, perm] in transposed storage
+    qt = qt.at[inv[:n1], :n1].set(qleft_t)
+    qt = qt.at[inv[n1:], n1:].set(qright_t)
 
     # deflation is sparse for generic spectra, so most rotations are no-ops:
     # stable-sort the valid ones to the front (preserving their order) and
@@ -356,22 +369,50 @@ def _merge_vectors(qleft_t, qright_t, lam, zhat, perm, root, deflated, rots, dd)
 
     # rank-one eigenvectors: qv[j, i] = zhat_j / (ds_j - lam_i), with the
     # denominator formed through the anchored root representation
+    # den[j, i] = ds_j - lam_i = (ds_j - ds_anchor_i) - sgn_i * troot_i
+    # (exact differences of sorted-d entries; deflated columns are identity)
     anchor, sgn, troot = root
-    # den[j, i] = ds_j - lam_i = (ds_j - ds_anchor_i) - sgn_i * troot_i,
-    # using dd[anchor_i, j] = ds_j - ds_anchor_i (exact differences)
-    dsj_minus_anchor = jnp.take(dd, anchor, axis=0).T   # [j, i]
-    den = dsj_minus_anchor - (sgn * troot)[None, :]
     eps = jnp.finfo(dt).eps
-    safe = jnp.where(den == 0, eps, den)
-    qv = zhat[:, None] / safe
-    norm = jnp.sqrt(jnp.sum(qv * qv, axis=0))
-    qv = qv / jnp.where(norm > 0, norm, 1.0)
-    qv = jnp.where(deflated[None, :], jnp.eye(n, dtype=dt), qv)
+    ds_anchor = ds[anchor]
+    st = sgn * troot
+    idx = jnp.arange(n)
+
+    def qv_rows(j0, cj):
+        """Unnormalized qv rows [j0, j0 + cj) fused from vectors."""
+        dsj = lax.dynamic_slice(ds, (j0,), (cj,))
+        zj = lax.dynamic_slice(zhat, (j0,), (cj,))
+        den = (dsj[:, None] - ds_anchor[None, :]) - st[None, :]
+        safe = jnp.where(den == 0, eps, den)
+        qv = zj[:, None] / safe
+        eye_blk = ((j0 + jnp.arange(cj))[:, None] == idx[None, :]).astype(dt)
+        return jnp.where(deflated[None, :], eye_blk, qv)
 
     # qnew[r, i] = sum_j q[r, j] qv[j, i]  ->  transposed result directly:
-    # qnewT[i, r] = sum_j qv[j, i] qT[j, r]  (contract leading dims on MXU)
-    qnew_t = lax.dot_general(qv, qt, (((0,), (0,)), ((), ())),
-                             precision=matmul_precision())
+    # qnewT[i, r] = sum_j qv[j, i] qT[j, r]  (contract leading dims on MXU);
+    # column normalization applied as a row scaling of qnewT afterwards
+    if j_chunk is None:
+        qv = qv_rows(0, n)
+        ssq = jnp.sum(qv * qv, axis=0)
+        qnew_t = lax.dot_general(qv, qt, (((0,), (0,)), ((), ())),
+                                 precision=matmul_precision())
+    else:
+        assert n % j_chunk == 0, (n, j_chunk)
+
+        def chunk_step(k, carry):
+            qnew_t, ssq = carry
+            j0 = k * j_chunk
+            qv = qv_rows(j0, j_chunk)
+            qt_j = lax.dynamic_slice(qt, (j0, 0), (j_chunk, n))
+            qnew_t = qnew_t + lax.dot_general(
+                qv, qt_j, (((0,), (0,)), ((), ())),
+                precision=matmul_precision())
+            return qnew_t, ssq + jnp.sum(qv * qv, axis=0)
+
+        qnew_t, ssq = lax.fori_loop(
+            0, n // j_chunk, chunk_step,
+            (jnp.zeros((n, n), dt), jnp.zeros((n,), dt)))
+    norm = jnp.sqrt(ssq)
+    qnew_t = qnew_t / jnp.where(norm > 0, norm, 1.0)[:, None]
     order = jnp.argsort(lam)
     return lam[order], qnew_t[order, :]
 
@@ -447,13 +488,19 @@ def _tridiag_dc_padded(d, e, laed4_iter, mesh=None):
         z2 = q2[:, :, 0]                     # first row of q2 (transposed)
         zcat = jnp.concatenate([z1, z2], axis=1)
 
-        def do_merge(dv, zv, rv, q1v, q2v):
-            lamv, zhat, _ds, perm, mu, defl, rots, dd = _merge(  # mu = root repr
+        def do_merge(dv, zv, rv, q1v, q2v, j_chunk=None):
+            lamv, zhat, ds, perm, mu, defl, rots = _merge(  # mu = root repr
                 dv, zv, rv, tol_scale, laed4_iter)
-            return _merge_vectors(q1v, q2v, lamv, zhat, perm, mu, defl, rots, dd)
+            return _merge_vectors(q1v, q2v, lamv, zhat, perm, mu, defl, rots,
+                                  ds, j_chunk=j_chunk)
 
         if nb2 <= unroll_batch():
-            outs = [do_merge(dcat[i], zcat[i], rho[i], q1[i], q2[i])
+            # huge unrolled merges stream the rank-one table in j-chunks so
+            # peak HBM is qt+qnew instead of qt+qv+qnew (see _merge_vectors)
+            mn = dcat.shape[1]
+            jc = 2048 if mn >= 16384 and mn % 2048 == 0 else None
+            outs = [do_merge(dcat[i], zcat[i], rho[i], q1[i], q2[i],
+                             j_chunk=jc)
                     for i in range(nb2)]
             lam = jnp.stack([o[0] for o in outs])
             q = jnp.stack([o[1] for o in outs])

@@ -299,10 +299,10 @@ def _dc_dist_shardfn(d, e, *, laed4_iter, levels, nblocks, D, cc):
                                     q2[:, :, 0]], axis=1)  # rows, transposed
 
             def do_merge(dv, zv, rv, q1v, q2v):
-                lamv, zhat, _ds, perm, mu, defl, rots, dd = _merge(
+                lamv, zhat, ds, perm, mu, defl, rots = _merge(
                     dv, zv, rv, tol_scale, laed4_iter)
                 return _merge_vectors(q1v, q2v, lamv, zhat, perm, mu, defl,
-                                      rots, dd)
+                                      rots, ds)
 
             if nb_loc2 <= unroll_batch():
                 # unrolled: vmapped dynamic slices become gathers (slow);

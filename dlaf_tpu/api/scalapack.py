@@ -149,19 +149,19 @@ def _run_cholesky(ctx, uplo, a, desc):
     from ..matrix.dist_matrix import DistMatrix
     grid = dlaf_get_grid(ctx)
     dm = DistMatrix.from_global(jnp.asarray(a), desc.mb, grid, pad_identity=True)
-    out = cholesky(dm)
+    out = cholesky(dm, uplo=uplo)
     g = np.asarray(out.to_global())
     full = np.asarray(a).copy()
-    full[np.tril_indices(desc.m)] = np.tril(g)[np.tril_indices(desc.m)]
+    idx = np.triu_indices(desc.m) if uplo == "U" else np.tril_indices(desc.m)
+    keep = np.triu(g) if uplo == "U" else np.tril(g)
+    full[idx] = keep[idx]
     return full
 
 
 def dlaf_cholesky_factorization(ctx: int, uplo: str, a, desc: DLAF_descriptor):
-    """reference ``dlaf_cholesky_factorization_{s,d,c,z}``."""
-    if uplo == "U":
-        a = np.asarray(a)
-        low = _run_cholesky(ctx, "L", a.conj().T, dataclasses.replace(desc))
-        return np.triu(low.conj().T) + np.tril(a, -1)
+    """reference ``dlaf_cholesky_factorization_{s,d,c,z}``; both uplos run
+    the native distributed factorization (U: ``algos/cholesky.py``
+    row-panel path, reference ``factorization/cholesky/impl.h:351``)."""
     return _run_cholesky(ctx, uplo, a, desc)
 
 

@@ -63,3 +63,44 @@ def test_dist_cholesky_wide_panel_tails(grid_size, n, nb):
     res = np.max(np.abs(l @ l.conj().T - np.asarray(a)))
     assert res <= 100 * n * np.finfo(np.float64).eps * \
         np.max(np.abs(np.asarray(a)))
+
+
+@pytest.mark.parametrize("grid_size", [(1, 1), (2, 2), (2, 3), (4, 1), (1, 8)])
+@pytest.mark.parametrize("n,nb", [(64, 16), (100, 16), (16, 16)])
+def test_dist_cholesky_upper_native(grid_size, n, nb, real_dtype_p):
+    """Native distributed upper-uplo POTRF (reference call_U,
+    factorization/cholesky/impl.h:351) — no DistMatrix.transpose round-trip."""
+    dtype = real_dtype_p
+    key = jax.random.PRNGKey(n + 7 * grid_size[0])
+    a = gen.random_hermitian_positive_definite(key, n, dtype)
+    grid = Grid(grid_size)
+    dm = DistMatrix.from_global(a, nb, grid, pad_identity=True)
+    out = cholesky(dm, uplo="U")
+    ufull = np.asarray(out.to_global())
+    u = np.triu(ufull)
+    an = np.asarray(a)
+    res = np.max(np.abs(u.conj().T @ u - an)) / max(n, 1)
+    assert res <= tol(dtype, n, 50), (res, grid_size, n)
+    # strict lower triangle must keep the original content
+    np.testing.assert_array_equal(np.tril(ufull, -1), np.tril(an, -1))
+    # U must equal the L factor's adjoint
+    l = np.tril(np.asarray(cholesky(dm).to_global()))
+    np.testing.assert_allclose(u, l.conj().T, atol=tol(dtype, n, 50))
+
+
+def test_dist_cholesky_upper_many_panels():
+    """U path beyond UNROLL_MAX_PANELS panels widens its panels."""
+    n, nb = 256, 16
+    a = gen.random_hermitian_positive_definite(
+        jax.random.PRNGKey(11), n, np.dtype("float64"))
+    import dlaf_tpu
+    old = dlaf_tpu.get_tune_parameters().potrf_dist_panel_width
+    dlaf_tpu.set_tune_parameters(potrf_dist_panel_width=16)
+    try:
+        dm = DistMatrix.from_global(a, nb, Grid((2, 2)), pad_identity=True)
+        u = np.triu(np.asarray(cholesky(dm, uplo="U").to_global()))
+        res = np.max(np.abs(u.conj().T @ u - np.asarray(a)))
+        assert res <= 100 * n * np.finfo(np.float64).eps * \
+            np.max(np.abs(np.asarray(a)))
+    finally:
+        dlaf_tpu.set_tune_parameters(potrf_dist_panel_width=old)
