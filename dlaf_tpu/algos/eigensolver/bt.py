@@ -90,9 +90,9 @@ def wy_group_vt(vs_g, taus_g, sel):
     return v, t
 
 
-@functools.partial(jax.jit, static_argnames=("b", "group_size", "pad_sweeps"))
+@functools.partial(jax.jit, static_argnames=("b", "group_size"))
 def bt_band_to_tridiag(e_mat, vs, taus, b: int, group_size: int = 64,
-                       sweep_lo=0, pad_sweeps: int | None = None):
+                       sweep_lo=0):
     """E <- Q_stage2 E with grouped compact-WY application.
 
     The reference groups reflector applications per eigenvector tile
@@ -111,8 +111,6 @@ def bt_band_to_tridiag(e_mat, vs, taus, b: int, group_size: int = 64,
     see algos/eigensolver/large.py) apply the chunks in DESCENDING
     sweep_lo order, which — with chunk boundaries at multiples of
     ``group_size`` — reproduces the unchunked application order exactly.
-    ``pad_sweeps`` (static) must then bound sweep_lo + the padded chunk
-    length so the workspace shape is chunk-independent (one compile).
     """
     if b == 1:
         return e_mat
@@ -128,12 +126,15 @@ def bt_band_to_tridiag(e_mat, vs, taus, b: int, group_size: int = 64,
         taus = jnp.concatenate(
             [taus, jnp.zeros((nspad - nsweeps, ncmax), dt)], axis=0)
 
-    pad_rows = (nspad if pad_sweeps is None else pad_sweeps) \
-        + ncmax * b + g - n
-    ep = jnp.concatenate([e_mat, jnp.zeros((max(pad_rows, 0), nev), dt)],
-                         axis=0)
-    sel = wy_select_tensor(g, b, dt)
+    # workspace pad: every VALID chase has r0 = s + 1 + c*b <= n - 1
+    # (c < ceil((n-1-s)/b)), touching rows < n - 1 + win; chases on padded /
+    # out-of-chunk sweep slots carry v = 0, tau = 0, so their (clamped)
+    # slice + update_slice pair writes back exactly what it read. The old
+    # bound (nspad + ncmax*b + g - n ~ n extra rows) DOUBLED the matrix —
+    # an 8.6 GB workspace at n = 32768, the round-4 stage-4 OOM.
     win = b + g - 1
+    ep = jnp.concatenate([e_mat, jnp.zeros((win, nev), dt)], axis=0)
+    sel = wy_select_tensor(g, b, dt)
     conj = (lambda x: jnp.conj(x)) if is_complex_dtype(dt) else (lambda x: x)
     lo = jnp.asarray(sweep_lo, jnp.int32)
 

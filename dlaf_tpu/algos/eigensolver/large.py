@@ -71,12 +71,11 @@ def _s3_fn(laed4: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _s4_fn(b: int, gsz: int, pad_sweeps: int):
+def _s4_fn(b: int, gsz: int):
     from .bt import bt_band_to_tridiag
     return jax.jit(
         lambda qq, vv, tt, lo_: bt_band_to_tridiag(
-            qq, vv, tt, b, group_size=gsz, sweep_lo=lo_,
-            pad_sweeps=pad_sweeps),
+            qq, vv, tt, b, group_size=gsz, sweep_lo=lo_),
         donate_argnums=0)
 
 
@@ -155,7 +154,7 @@ def eigh_large(a, band: int | None = None, rec_chunks: int = 2,
     t0 = tick("stage3_tridiag_dc", t0, q)
 
     # ---- stage 4: stage-2 back-transform, chunked re-chase + apply ------
-    apply_fn = _s4_fn(b, gsz, nchunks * chunk)
+    apply_fn = _s4_fn(b, gsz)
     for ci in range(nchunks - 1, -1, -1):    # descending sweep order
         lo = ci * chunk
         vs_c, taus_c = _chase(strips, n, b, sweep_lo=lo,
@@ -173,3 +172,23 @@ def eigh_large(a, band: int | None = None, rec_chunks: int = 2,
     if timers:
         return w, q, stage_s
     return w, q
+
+
+def eigvalsh_large(a, band: int | None = None):
+    """Eigenvalues only at contract scale: stages 1-3 of the memory plan
+    (no reflector record at all — the no-record chase); CONSUMES ``a``."""
+    tune = get_tune_parameters()
+    n = a.shape[0]
+    b = band or get_band_size(tune.default_block_size)
+    if n % b or n <= b:
+        raise ValueError(f"eigvalsh_large needs n % band == 0 and n > band "
+                         f"(n={n}, band={b})")
+    gsz = tune.bt_band_to_tridiag_hh_apply_group_size
+    packed, _ = _s1_fn(b)(a)
+    del a
+    strips = _strips_fn(b)(packed)
+    del packed
+    d, e, _vs, _t = _chase(strips, n, b, sweep_lo=n - 1, sweep_chunk=gsz)
+    del strips, _vs, _t
+    w, _ = _s3_fn(tune.laed4_max_iter)(d, e)
+    return w

@@ -77,8 +77,12 @@ def reduction_to_band(a, band: int):
         x = w - 0.5 * jnp.matmul(v, jnp.matmul(ct(t), vhw,
                                                precision=matmul_precision()),
                                  precision=matmul_precision())
-        upd = (jnp.matmul(v, ct(x), precision=matmul_precision())
-               + jnp.matmul(x, ct(v), precision=matmul_precision()))
+        # V X^H + X V^H as ONE rank-2b GEMM: [V X] @ [X V]^H — two separate
+        # products would each materialize an (nw, nw) buffer (2 x 4 GB live
+        # at n = 32768, the round-3 HEEV RESOURCE_EXHAUSTED)
+        upd = jnp.matmul(jnp.concatenate([v, x], axis=1),
+                         ct(jnp.concatenate([x, v], axis=1)),
+                         precision=matmul_precision())
         tril = rows[:, None] >= rows[None, :]
         a = jnp.where(tmask & tril, a - upd, a)
 

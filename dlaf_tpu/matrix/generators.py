@@ -25,11 +25,24 @@ def random_general(key, shape, dtype):
     return jax.random.uniform(key, shape, rd, -1.0, 1.0).astype(dtype)
 
 
-def random_hermitian(key, n, dtype):
-    """Random hermitian with elements O(1) and real diagonal."""
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("n", "dtype"))
+def _random_hermitian(key, n, dtype):
     r = random_general(key, (n, n), dtype)
-    h = (r + jnp.conj(r.T)) / 2 if is_complex_dtype(dtype) else (r + r.T) / 2
-    return h
+    return (r + jnp.conj(r.T)) / 2 if is_complex_dtype(dtype) \
+        else (r + r.T) / 2
+
+
+def random_hermitian(key, n, dtype):
+    """Random hermitian with elements O(1) and real diagonal.
+
+    Jitted so XLA fuses the transpose + add + scale into one output buffer:
+    unjitted, each op materializes its own (n, n) — 12 GB of temporaries at
+    n = 32768, enough to OOM a 16 GB chip with one live result matrix.
+    """
+    return _random_hermitian(key, n, jnp.dtype(dtype))
 
 
 def random_hermitian_positive_definite(key, n, dtype):

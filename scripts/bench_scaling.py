@@ -85,14 +85,29 @@ def _sweep(args, algo):
             dm = DistMatrix.from_global(a, nb, grid)
             t = _time(lambda: cholesky(dm))
             flops = n**3 / 3
+            point = {"grid": [pr, pc], "devices": d, "n": n,
+                     "seconds": round(t, 4),
+                     "gflops": round(flops / t / 1e9, 2)}
         else:
             a = gen.random_hermitian(jax.random.PRNGKey(0), n, jnp.float32)
             dm = DistMatrix.from_global(a, nb, grid)
-            t = _time(lambda: eigh_dist(dm)[1])
             flops = 10 * n**3 / 3      # ~red2band + chase + D&C + 2 BTs
-        points.append({"grid": [pr, pc], "devices": d, "n": n,
-                       "seconds": round(t, 4),
-                       "gflops": round(flops / t / 1e9, 2)})
+            # A/B the distributed stage-2 mode (VERDICT r03 #5: the mode
+            # choice must be evidence-based; reference scaling analog
+            # band_to_tridiag/mc.h:568-661). On 1 device the pipelined
+            # schedule degenerates to the replicated one — skip the B arm.
+            mode_s = {}
+            for dist_mode in (("replicated",) if d == 1
+                              else ("replicated", "pipelined")):
+                dt.set_tune_parameters(band_to_tridiag_dist_mode=dist_mode)
+                mode_s[dist_mode] = round(_time(lambda: eigh_dist(dm)[1]), 4)
+            dt.set_tune_parameters(band_to_tridiag_dist_mode="replicated")
+            best = min(mode_s, key=mode_s.get)
+            t = mode_s[best]
+            point = {"grid": [pr, pc], "devices": d, "n": n,
+                     "seconds": t, "gflops": round(flops / t / 1e9, 2),
+                     "stage2_mode_seconds": mode_s, "stage2_best": best}
+        points.append(point)
         print(algo, json.dumps(points[-1]), flush=True)
 
     base_thru = points[0]["gflops"]
@@ -123,8 +138,11 @@ def main():
         "potrf_f32": {"nb": args.nb, "points": points},
         "eigh_f32": {"nb": eargs.nb, "points": epoints},
     }
-    with open("/root/repo/WEAK_SCALING.json", "w") as f:
+    path = "/root/repo/WEAK_SCALING.json" if args.mode == "weak" \
+        else "/root/repo/STRONG_SCALING.json"
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
+        f.write("\n")
     print(json.dumps(out))
 
 

@@ -338,17 +338,16 @@ def section_heev_big(res: Result):
         res.update(full_evp_error=repr(exc)[:300])
         try:
             jax.clear_caches()
-            a = mk_a()
-            ev_fn = jax.jit(dt.eigvalsh, donate_argnums=0)
-            w = ev_fn(mk_a())
+            from dlaf_tpu.algos.eigensolver.large import eigvalsh_large
+            w = eigvalsh_large(mk_a())      # compile + warmup (donates)
             _sync(w)
+            del w
             a = mk_a()
             _sync(a)
             t0 = time.perf_counter()
-            w = ev_fn(a)
+            w = eigvalsh_large(a)
             _sync(w)
             t_ev = time.perf_counter() - t0 - ovh
-
             tr = float(jnp.sum(w) - jnp.trace(mk_a()))
             res.update(n=nb2, mode="eigvalsh_fallback",
                        seconds=round(t_ev, 3), trace_err=tr)

@@ -35,7 +35,10 @@ if not TPU_LANE:
     # TPU platform cached — override via config (env vars alone are too late).
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
-    jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_enable_x64", True)  # both lanes: the reference tests
+# {s,d,c,z} on every backend (cmake/DLAF_AddTest.cmake:60-118); on TPU f64
+# runs through the x64-emulation path (float32 exponent range, see
+# tests/test_tpu_lane.py dtype tests)
 
 # persistent compile cache: repeat suite runs skip recompilation
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
