@@ -90,9 +90,9 @@ def wy_group_vt(vs_g, taus_g, sel):
     return v, t
 
 
-@functools.partial(jax.jit, static_argnames=("b", "group_size"))
+@functools.partial(jax.jit, static_argnames=("b", "group_size", "prepadded"))
 def bt_band_to_tridiag(e_mat, vs, taus, b: int, group_size: int = 64,
-                       sweep_lo=0):
+                       sweep_lo=0, prepadded: bool = False):
     """E <- Q_stage2 E with grouped compact-WY application.
 
     The reference groups reflector applications per eigenvector tile
@@ -111,6 +111,14 @@ def bt_band_to_tridiag(e_mat, vs, taus, b: int, group_size: int = 64,
     see algos/eigensolver/large.py) apply the chunks in DESCENDING
     sweep_lo order, which — with chunk boundaries at multiples of
     ``group_size`` — reproduces the unchunked application order exactly.
+
+    With ``prepadded`` the caller passes E already extended by the
+    ``b + group_size - 1`` workspace rows (content irrelevant: out-of-range
+    window slots carry zero reflectors, so the slice/update pair writes back
+    what it read) and gets the padded buffer back. Chunked callers pad ONCE
+    and thread the donated buffer through every chunk — the per-call
+    concat would otherwise hold q twice at the peak (the n = 32768
+    rec_chunks = 1 OOM).
     """
     if b == 1:
         return e_mat
@@ -133,7 +141,10 @@ def bt_band_to_tridiag(e_mat, vs, taus, b: int, group_size: int = 64,
     # bound (nspad + ncmax*b + g - n ~ n extra rows) DOUBLED the matrix —
     # an 8.6 GB workspace at n = 32768, the round-4 stage-4 OOM.
     win = b + g - 1
-    ep = jnp.concatenate([e_mat, jnp.zeros((win, nev), dt)], axis=0)
+    if prepadded:
+        ep, n = e_mat, n - win
+    else:
+        ep = jnp.concatenate([e_mat, jnp.zeros((win, nev), dt)], axis=0)
     sel = wy_select_tensor(g, b, dt)
     conj = (lambda x: jnp.conj(x)) if is_complex_dtype(dt) else (lambda x: x)
     lo = jnp.asarray(sweep_lo, jnp.int32)
@@ -160,36 +171,53 @@ def bt_band_to_tridiag(e_mat, vs, taus, b: int, group_size: int = 64,
         return ep
 
     ep = lax.fori_loop(0, ngroups, group_step, ep)
-    return ep[:n]
+    return ep if prepadded else ep[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("band",))
-def bt_reduction_to_band(e_mat, a_packed, taus, band: int):
+@functools.partial(jax.jit, static_argnames=("band", "panel_group"))
+def bt_reduction_to_band(e_mat, a_packed, taus, band: int,
+                         panel_group: int = 4):
     """E <- Q_stage1 E using the panels stored in the packed stage-1 output.
 
     e_mat: (n, nev); a_packed/taus: outputs of :func:`reduction_to_band`.
     Stage 1 computed A_band = Q^H A Q with Q = prod_k (I - V_k T_k V_k^H)
     in panel order, so E <- Q E applies panels in reverse order:
     E -= V (T (V^H E)).
+
+    ``panel_group`` consecutive panels are aggregated into ONE wide
+    compact-WY block (the closed-form ``t_factor`` covers any ordered
+    reflector sequence, so T is assembled directly from the (pg*b)-column
+    V): E is streamed pg x fewer times — the per-panel version was
+    HBM-bound at ~29 TFLOP/s reading+writing E (3 n*nev passes) per b-wide
+    panel — and the GEMM contraction widens from b to pg*b. Groups are
+    start-aligned; the ragged tail group reads zero-padded columns whose
+    tau = 0 makes them exact no-ops in T.
     """
     n, nev = e_mat.shape
     b = band
     npanels = max(n // b - 1, 0)
+    if npanels == 0:
+        return e_mat
+    pg = max(1, min(panel_group, npanels))
+    pgb = pg * b
+    ngroups = -(-npanels // pg)
+    ap = jnp.concatenate(
+        [a_packed, jnp.zeros((n, pgb), a_packed.dtype)], axis=1)
+    tp_all = jnp.concatenate([taus, jnp.zeros((pgb,), taus.dtype)])
     rows = jnp.arange(n)
 
-    def panel_step(k, e):
-        kk = npanels - 1 - k
-        j0 = kk * b
-        r0 = j0 + b
-        panel = lax.dynamic_slice(a_packed, (0, j0), (n, b))
-        head = r0 + jnp.arange(b)
+    def group_step(k, e):
+        gk = ngroups - 1 - k               # groups applied in reverse order
+        j0 = gk * pgb                      # global first column of the group
+        panel = lax.dynamic_slice(ap, (0, j0), (n, pgb))
+        head = j0 + b + jnp.arange(pgb)    # head row of each column
         v = jnp.where(rows[:, None] > head[None, :], panel, 0)
         v = v + jnp.where(rows[:, None] == head[None, :], 1.0, 0).astype(e.dtype)
-        tp = lax.dynamic_slice(taus, (j0,), (b,))
-        t = t_factor(v, tp)
+        tpg = lax.dynamic_slice(tp_all, (j0,), (pgb,))
+        t = t_factor(v, tpg)
         w = jnp.matmul(ct(v), e, precision=matmul_precision())
         e = e - jnp.matmul(v, jnp.matmul(t, w, precision=matmul_precision()),
                            precision=matmul_precision())
         return e
 
-    return lax.fori_loop(0, npanels, panel_step, e_mat)
+    return lax.fori_loop(0, ngroups, group_step, e_mat)

@@ -75,8 +75,24 @@ def _s4_fn(b: int, gsz: int):
     from .bt import bt_band_to_tridiag
     return jax.jit(
         lambda qq, vv, tt, lo_: bt_band_to_tridiag(
-            qq, vv, tt, b, group_size=gsz, sweep_lo=lo_),
+            qq, vv, tt, b, group_size=gsz, sweep_lo=lo_, prepadded=True),
         donate_argnums=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _pad_fn(win: int):
+    """Extend q by the stage-4 workspace rows ONCE (donated): the padded
+    buffer is threaded through every chunk apply, so no apply ever holds a
+    second n^2 copy (the rec_chunks=1 peak-HBM enabler)."""
+    return jax.jit(
+        lambda qq: jnp.concatenate(
+            [qq, jnp.zeros((win, qq.shape[1]), qq.dtype)], axis=0),
+        donate_argnums=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _unpad_fn(n: int):
+    return jax.jit(lambda qq: qq[:n], donate_argnums=0)
 
 
 @functools.lru_cache(maxsize=None)
@@ -101,7 +117,7 @@ def _chase(strips, n: int, b: int, sweep_lo, sweep_chunk):
                                   sweep_chunk=sweep_chunk)
 
 
-def eigh_large(a, band: int | None = None, rec_chunks: int = 2,
+def eigh_large(a, band: int | None = None, rec_chunks: int = 1,
                timers: bool = False):
     """Eigendecomposition of hermitian ``a`` (lower triangle referenced),
     staged for minimal peak HBM. CONSUMES (donates) ``a``.
@@ -154,7 +170,11 @@ def eigh_large(a, band: int | None = None, rec_chunks: int = 2,
     t0 = tick("stage3_tridiag_dc", t0, q)
 
     # ---- stage 4: stage-2 back-transform, chunked re-chase + apply ------
+    # q is padded ONCE by the stage-4 workspace rows and the padded buffer
+    # is donated through every chunk apply (a per-apply pad would hold two
+    # n^2 buffers at the concat peak).
     apply_fn = _s4_fn(b, gsz)
+    q = _pad_fn(b + gsz - 1)(q)
     for ci in range(nchunks - 1, -1, -1):    # descending sweep order
         lo = ci * chunk
         vs_c, taus_c = _chase(strips, n, b, sweep_lo=lo,
@@ -162,6 +182,7 @@ def eigh_large(a, band: int | None = None, rec_chunks: int = 2,
         q = apply_fn(q, vs_c, taus_c, lo)
         del vs_c, taus_c
     del strips
+    q = _unpad_fn(n)(q)
     t0 = tick("stage4_bt_band2tridiag", t0, q)
 
     # ---- stage 5: stage-1 back-transform (donates q) ---------------------

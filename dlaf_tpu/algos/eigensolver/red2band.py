@@ -42,11 +42,22 @@ def reduction_to_band(a, band: int):
     split into static buckets; within a bucket every step operates on the
     trailing window slice, so per-step GEMM cost tracks the trailing size
     (the masked full-width version burned ~3x the flops).
+
+    HBM-traffic invariant: the trailing window is kept FULLY hermitian
+    (both triangles valid; symmetrized once on entry). W = A (V T) then
+    needs no per-step symmetrize/mask materialization — V is zero on rows
+    < r0, so stale columns never contribute and only W's rows need a cheap
+    (nw, b) mask — and the rank-2b update subtracts its (exactly hermitian)
+    product over the whole window, which XLA fuses into the GEMM epilogue.
+    The previous masked form paid ~3 extra O(nw^2) buffer passes per panel
+    (symmetrize + masked copy + masked subtract), making stage 1
+    bandwidth-bound at ~5.7 TFLOP/s on a 64 TFLOP/s chip.
     """
     n = a.shape[0]
     b = band
     assert n % b == 0, (n, b)
     npanels = max(n // b - 1, 0)
+    a = symmetrize_tri(a, lower=True)       # establish the invariant (once)
 
     def panel_step(k, carry, *, base):
         a, taus = carry                     # a = trailing window [base:, base:]
@@ -68,10 +79,12 @@ def reduction_to_band(a, band: int):
         t = t_factor(v, taus_p)
 
         # --- two-sided trailing update ----------------------------------
-        tmask = below[:, None] & below[None, :]
-        s = jnp.where(tmask, symmetrize_tri(a, lower=True), 0)
-        w = jnp.matmul(s, jnp.matmul(v, t, precision=matmul_precision()),
+        # W = A (V T): V's rows < r0 are zero, so columns of A outside the
+        # trailing block contribute nothing; rows < r0 of W are garbage
+        # (stale band/reflector rows) and are masked — an (nw, b) mask.
+        w = jnp.matmul(a, jnp.matmul(v, t, precision=matmul_precision()),
                        precision=matmul_precision())
+        w = jnp.where(below[:, None], w, 0)
         # X = W - 1/2 V (T^H (V^H W))
         vhw = jnp.matmul(ct(v), w, precision=matmul_precision())
         x = w - 0.5 * jnp.matmul(v, jnp.matmul(ct(t), vhw,
@@ -79,12 +92,13 @@ def reduction_to_band(a, band: int):
                                  precision=matmul_precision())
         # V X^H + X V^H as ONE rank-2b GEMM: [V X] @ [X V]^H — two separate
         # products would each materialize an (nw, nw) buffer (2 x 4 GB live
-        # at n = 32768, the round-3 HEEV RESOURCE_EXHAUSTED)
+        # at n = 32768, the round-3 HEEV RESOURCE_EXHAUSTED). The product is
+        # hermitian and zero outside rows/cols >= r0, so the unmasked
+        # subtraction preserves the symmetric-window invariant.
         upd = jnp.matmul(jnp.concatenate([v, x], axis=1),
                          ct(jnp.concatenate([x, v], axis=1)),
                          precision=matmul_precision())
-        tril = rows[:, None] >= rows[None, :]
-        a = jnp.where(tmask & tril, a - upd, a)
+        a = a - upd
 
         # --- write back the panel: R on the band block, V strictly below --
         r_full = jnp.roll(jnp.concatenate(

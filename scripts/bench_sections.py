@@ -108,7 +108,9 @@ def section_potrf(res: Result):
                                                    clean=False),
                        donate_argnums=0)
 
-    # --- probe A/B at n=8192: (trailing kernel) x (block size) -----------
+    # --- probe A/B at n=16384: (trailing kernel) x (block size) ----------
+    # n=8192 runs (~4ms) vanish under the fence overhead on this tunneled
+    # backend, so the probe runs at n=16384 where candidates take ~30ms.
     # Non-reference winners must (a) beat xla@512 by >= 3% at the probe,
     # (b) pass an eps-scaled correctness gate (test-style bound, VERDICT r03
     # weak #7), and (c) CONFIRM the win at the headline scale n=32768
@@ -117,7 +119,7 @@ def section_potrf(res: Result):
     ab_times = {}
     confirm = {}
     try:
-        na = 8192
+        na = 16384
         aa = gen.random_hermitian_positive_definite(jax.random.PRNGKey(4),
                                                     na, jnp.float32)
         mk = jax.jit(lambda x: x + 0.0)
