@@ -37,10 +37,30 @@ def main(argv=None):
         fn = functools.partial(bt_band_to_tridiag_dist, qc, vs, taus, band,
                                n, grid.mesh)
     else:
-        _, _, vs, taus = band_to_tridiag(bandm, band)
+        d, e, vs, taus = band_to_tridiag(bandm, band)
         fn = functools.partial(bt_band_to_tridiag, emat, vs, taus, band)
+
+    check_fn = None
+    if args.check and grid is None:
+        import numpy as np
+        from dlaf_tpu.types import eps
+
+        def check_fn(out):
+            # Q2 satisfies band = Q2 T Q2^H, hence band (Q2 E) = Q2 (T E):
+            # compare the timed result against the back-transform of T E.
+            tmat = jnp.diag(d.astype(dtype)) + jnp.diag(e, -1) + \
+                jnp.diag(jnp.conj(e), 1)
+            lhs = np.asarray(jnp.matmul(bandm, out))
+            rhs = np.asarray(bt_band_to_tridiag(
+                jnp.matmul(tmat, emat), vs, taus, band))
+            scale = max(float(jnp.max(jnp.abs(bandm))), 1.0) * \
+                max(float(jnp.max(jnp.abs(emat))), 1.0)
+            err = float(np.max(np.abs(lhs - rhs)))
+            tol = 200 * n * eps(dtype) * scale
+            return err <= tol, f"commutation err {err:.2e} tol {tol:.2e}"
+
     # 2 * 2 * n * nev flops per reflector row-block application ~ 4 n^2 nev / b
-    options.run_timed(args, fn, 0)
+    options.run_timed(args, fn, 0, check_fn=check_fn)
 
 
 if __name__ == "__main__":

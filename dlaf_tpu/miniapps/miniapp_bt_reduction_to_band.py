@@ -42,8 +42,29 @@ def main(argv=None):
     else:
         packed, taus = reduction_to_band(a, band)
         fn = functools.partial(bt_reduction_to_band, emat, packed, taus, band)
+
+    check_fn = None
+    if args.check and grid is None:
+        import numpy as np
+        from dlaf_tpu.algos.eigensolver.red2band import extract_band
+        from dlaf_tpu.types import eps
+
+        def check_fn(out):
+            # Q satisfies A = Q B Q^H (B = band form), hence A (Q E) = Q (B E):
+            # compare the timed result against the back-transform of B E.
+            bmat = extract_band(packed, band)
+            lhs = np.asarray(jnp.matmul(
+                jnp.tril(a) + jnp.tril(a, -1).conj().T, out))
+            rhs = np.asarray(bt_reduction_to_band(
+                jnp.matmul(bmat, emat), packed, taus, band))
+            scale = max(float(jnp.max(jnp.abs(a))), 1.0) * \
+                max(float(jnp.max(jnp.abs(emat))), 1.0)
+            err = float(np.max(np.abs(lhs - rhs)))
+            tol = 200 * n * eps(dtype) * scale
+            return err <= tol, f"commutation err {err:.2e} tol {tol:.2e}"
+
     flops = total_ops(dtype, 2 * n**3, 2 * n**3)  # ~4 n^2 nev with nev = n
-    options.run_timed(args, fn, flops)
+    options.run_timed(args, fn, flops, check_fn=check_fn)
 
 
 if __name__ == "__main__":
