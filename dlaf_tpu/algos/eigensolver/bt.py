@@ -90,9 +90,11 @@ def wy_group_vt(vs_g, taus_g, sel):
     return v, t
 
 
-@functools.partial(jax.jit, static_argnames=("b", "group_size", "prepadded"))
+@functools.partial(jax.jit,
+                   static_argnames=("b", "group_size", "prepadded", "raw_bp"))
 def bt_band_to_tridiag(e_mat, vs, taus, b: int, group_size: int = 64,
-                       sweep_lo=0, prepadded: bool = False):
+                       sweep_lo=0, prepadded: bool = False,
+                       raw_bp: int | None = None):
     """E <- Q_stage2 E with grouped compact-WY application.
 
     The reference groups reflector applications per eigenvector tile
@@ -119,20 +121,38 @@ def bt_band_to_tridiag(e_mat, vs, taus, b: int, group_size: int = 64,
     and thread the donated buffer through every chunk — the per-call
     concat would otherwise hold q twice at the peak (the n = 32768
     rec_chunks = 1 OOM).
+
+    With ``raw_bp`` the record ``vs`` is the Pallas chaser's RAW aliased
+    layout (nrec + 1, ncmax * (raw_bp // 128), 128) — slot 0 of each row
+    holds tau, the trailing trash row is ignored — and the unit head is
+    restored per group slice, so no cooked O(n^2) record copy ever exists
+    (the other half of the rec_chunks = 1 HBM plan). Requires the sweep
+    count (vs.shape[0] - 1) to be a multiple of ``group_size``.
     """
     if b == 1:
         return e_mat
     n, nev = e_mat.shape
-    nsweeps, ncmax, _ = vs.shape
     dt = e_mat.dtype
-    g = max(1, min(group_size, nsweeps))
-    ngroups = -(-nsweeps // g)
-    nspad = ngroups * g
-    if nspad > nsweeps:   # padded sweeps have tau == 0: exact no-ops
-        vs = jnp.concatenate(
-            [vs, jnp.zeros((nspad - nsweeps, ncmax, b), dt)], axis=0)
-        taus = jnp.concatenate(
-            [taus, jnp.zeros((nspad - nsweeps, ncmax), dt)], axis=0)
+    if raw_bp is not None:
+        nsweeps = vs.shape[0] - 1
+        bpt = raw_bp // 128
+        assert vs.shape[1] // bpt * bpt == vs.shape[1]
+        ncmax = vs.shape[1] // bpt
+        g = max(1, min(group_size, nsweeps))
+        if nsweeps % g:
+            raise ValueError(f"raw record needs nsweeps % group_size == 0 "
+                             f"(got {nsweeps} % {g})")
+        ngroups = nsweeps // g
+    else:
+        nsweeps, ncmax, _ = vs.shape
+        g = max(1, min(group_size, nsweeps))
+        ngroups = -(-nsweeps // g)
+        nspad = ngroups * g
+        if nspad > nsweeps:   # padded sweeps have tau == 0: exact no-ops
+            vs = jnp.concatenate(
+                [vs, jnp.zeros((nspad - nsweeps, ncmax, b), dt)], axis=0)
+            taus = jnp.concatenate(
+                [taus, jnp.zeros((nspad - nsweeps, ncmax), dt)], axis=0)
 
     # workspace pad: every VALID chase has r0 = s + 1 + c*b <= n - 1
     # (c < ceil((n-1-s)/b)), touching rows < n - 1 + win; chases on padded /
@@ -152,9 +172,18 @@ def bt_band_to_tridiag(e_mat, vs, taus, b: int, group_size: int = 64,
     def chase_step(c, carry):
         s0, ep = carry
         c = jnp.asarray(c, jnp.int32)
-        v, t = wy_group_vt(
-            lax.dynamic_slice(vs, (s0, c, jnp.int32(0)), (g, 1, b))[:, 0],
-            lax.dynamic_slice(taus, (s0, c), (g, 1))[:, 0], sel)
+        tau_g = lax.dynamic_slice(taus, (s0, c), (g, 1))[:, 0]
+        if raw_bp is not None:
+            raw = lax.dynamic_slice(
+                vs, (s0, c * jnp.int32(raw_bp // 128), jnp.int32(0)),
+                (g, raw_bp // 128, 128))
+            vs_g = raw.reshape(g, raw_bp)[:, :b]
+            head = jnp.where(tau_g != 0, 1.0, 0.0).astype(dt)
+            vs_g = jnp.concatenate([head[:, None], vs_g[:, 1:]], axis=1)
+        else:
+            vs_g = lax.dynamic_slice(
+                vs, (s0, c, jnp.int32(0)), (g, 1, b))[:, 0]
+        v, t = wy_group_vt(vs_g, tau_g, sel)
         r0 = lo + s0 + 1 + c * b
         blk = lax.dynamic_slice(ep, (r0, jnp.int32(0)), (win, nev))
         # E <- Q^H E = E - V T^H (V^H E)

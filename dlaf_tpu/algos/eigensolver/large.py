@@ -71,11 +71,12 @@ def _s3_fn(laed4: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _s4_fn(b: int, gsz: int):
+def _s4_fn(b: int, gsz: int, raw_bp: int | None = None):
     from .bt import bt_band_to_tridiag
     return jax.jit(
         lambda qq, vv, tt, lo_: bt_band_to_tridiag(
-            qq, vv, tt, b, group_size=gsz, sweep_lo=lo_, prepadded=True),
+            qq, vv, tt, b, group_size=gsz, sweep_lo=lo_, prepadded=True,
+            raw_bp=raw_bp),
         donate_argnums=0)
 
 
@@ -102,19 +103,29 @@ def _s5_fn(b: int):
                    donate_argnums=0)
 
 
-def _chase(strips, n: int, b: int, sweep_lo, sweep_chunk):
+def _chase(strips, n: int, b: int, sweep_lo, sweep_chunk, raw: bool = False):
     """One full bulge-chase pass over strip storage, recording only sweeps
     [sweep_lo, sweep_lo + sweep_chunk); kernel choice as in
-    band2tridiag.band_to_tridiag_auto (Pallas DMA chaser on TPU f32/c64)."""
+    band2tridiag.band_to_tridiag_auto (Pallas DMA chaser on TPU f32/c64).
+
+    Returns (d, e, vs, taus, raw_bp): with ``raw`` and the Pallas kernel
+    selected, ``vs`` is the raw aliased record (no cooked O(n^2) copy,
+    see band2tridiag raw_record) and raw_bp its padded row width;
+    otherwise raw_bp is None and vs is the shared layout.
+    """
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if on_tpu and strips.dtype in (jnp.float32, jnp.complex64) and b >= 8:
         from ...ops.pallas.band2tridiag import (band_to_tridiag_strips_pallas,
                                                 chaser_feasible)
         if chaser_feasible(b, strips.dtype):
-            return band_to_tridiag_strips_pallas(
-                strips, n, b, sweep_lo=sweep_lo, sweep_chunk=sweep_chunk)
-    return band_to_tridiag_strips(strips, n, b, sweep_lo=sweep_lo,
-                                  sweep_chunk=sweep_chunk)
+            use_raw = raw and strips.dtype == jnp.float32
+            out = band_to_tridiag_strips_pallas(
+                strips, n, b, sweep_lo=sweep_lo, sweep_chunk=sweep_chunk,
+                raw_record=use_raw)
+            return (*out, (-(-b // 128) * 128) if use_raw else None)
+    out = band_to_tridiag_strips(strips, n, b, sweep_lo=sweep_lo,
+                                 sweep_chunk=sweep_chunk)
+    return (*out, None)
 
 
 def eigh_large(a, band: int | None = None, rec_chunks: int = 1,
@@ -160,8 +171,8 @@ def eigh_large(a, band: int | None = None, rec_chunks: int = 1,
 
     # ---- stage 2: strips + one recording-nothing chase -> (d, e) --------
     strips = _strips_fn(b)(packed)
-    d, e, _vs0, _t0 = _chase(strips, n, b, sweep_lo=nsweeps + 1,
-                             sweep_chunk=gsz)
+    d, e, _vs0, _t0, _ = _chase(strips, n, b, sweep_lo=nsweeps + 1,
+                                sweep_chunk=gsz)
     del _vs0, _t0
     t0 = tick("stage2_band2tridiag", t0, e)
 
@@ -173,13 +184,12 @@ def eigh_large(a, band: int | None = None, rec_chunks: int = 1,
     # q is padded ONCE by the stage-4 workspace rows and the padded buffer
     # is donated through every chunk apply (a per-apply pad would hold two
     # n^2 buffers at the concat peak).
-    apply_fn = _s4_fn(b, gsz)
     q = _pad_fn(b + gsz - 1)(q)
     for ci in range(nchunks - 1, -1, -1):    # descending sweep order
         lo = ci * chunk
-        vs_c, taus_c = _chase(strips, n, b, sweep_lo=lo,
-                              sweep_chunk=chunk)[2:]
-        q = apply_fn(q, vs_c, taus_c, lo)
+        _, _, vs_c, taus_c, raw_bp = _chase(strips, n, b, sweep_lo=lo,
+                                            sweep_chunk=chunk, raw=True)
+        q = _s4_fn(b, gsz, raw_bp)(q, vs_c, taus_c, lo)
         del vs_c, taus_c
     del strips
     q = _unpad_fn(n)(q)
@@ -209,7 +219,7 @@ def eigvalsh_large(a, band: int | None = None):
     del a
     strips = _strips_fn(b)(packed)
     del packed
-    d, e, _vs, _t = _chase(strips, n, b, sweep_lo=n - 1, sweep_chunk=gsz)
+    d, e, _vs, _t, _ = _chase(strips, n, b, sweep_lo=n - 1, sweep_chunk=gsz)
     del strips, _vs, _t
     w, _ = _s3_fn(tune.laed4_max_iter)(d, e)
     return w

@@ -410,15 +410,25 @@ def _make_kernel(*, n, b, nsweeps, ncmax, nlanes, tsteps, ns_total, depth,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n", "b", "sweep_chunk"))
+@functools.partial(jax.jit,
+                   static_argnames=("n", "b", "sweep_chunk", "raw_record"))
 def band_to_tridiag_strips_pallas(strips, n: int, b: int, sweep_lo=0,
-                                  sweep_chunk: int | None = None):
+                                  sweep_chunk: int | None = None,
+                                  raw_record: bool = False):
     """Wavefront bulge chasing on strip storage (f32 or c64, b >= 8).
 
     strips: (>= n_strips(n, b) + 3, b, 5b) f32/c64 strip storage.
     Returns (d, e, vs, taus) in the shared recorded-reflector layout.
     With ``sweep_chunk``, only sweeps [sweep_lo, sweep_lo + sweep_chunk) are
     recorded (see band_strips.band_to_tridiag_strips).
+
+    With ``raw_record`` (f32 only), ``vs`` is returned in the kernel's RAW
+    aliased layout (nrec + 1, ncmax * ceil(b/128), 128) — slot 0 of every
+    row still holds tau and the trailing trash row is kept — so no second
+    O(n^2) record buffer is materialized (cooking the record into the
+    shared layout costs a full copy: the n = 32768 single-chunk stage-4
+    OOM). Consumers fix the unit head per group (see
+    ``bt.bt_band_to_tridiag(raw_bp=...)``).
     """
     if strips.dtype == jnp.complex64:
         planes = (jnp.real(strips), jnp.imag(strips))
@@ -483,6 +493,12 @@ def band_to_tridiag_strips_pallas(strips, n: int, b: int, sweep_lo=0,
         hhc = hh[0]
     from ...algos.eigensolver.band_strips import strips_extract_tridiag
     d, e = strips_extract_tridiag(strips_out[:, :, :STRIP_W * b], n, b)
+    if raw_record:
+        if P != 1:
+            raise ValueError("raw_record is f32-only")
+        # taus is a strided 1-lane gather (small output, no O(n^2) temp)
+        taus = hhc[:nrec].reshape(nrec, ncmax, bp)[:, :, 0]
+        return d, e, hhc, taus
     hhc = hhc[:nrec].reshape(nrec, ncmax, bp)[:, :, :b]
     taus = hhc[:, :, 0]
     one = jnp.ones((), hhc.dtype)

@@ -75,6 +75,33 @@ def test_pallas_kernel_matches_dense_interpret(n, b, dtype):
     assert float(np.max(np.abs(np.asarray(vs0 - vs1)) * act[:, :, None])) <= bound
 
 
+def test_bt_raw_record_matches_cooked_interpret():
+    """raw_record (the n=32768 single-chunk HBM plan: no cooked O(n^2)
+    record copy) applied through bt_band_to_tridiag(raw_bp=...) must match
+    the cooked-record application exactly."""
+    from jax.experimental.pallas import tpu as pltpu
+    from dlaf_tpu.algos.eigensolver.bt import bt_band_to_tridiag
+    from dlaf_tpu.ops.pallas.band2tridiag import band_to_tridiag_strips_pallas
+    n, b, g = 66, 8, 16
+    nev = 24
+    band = _band(n, b, np.float32)
+    strips = bs.band_to_strips(band, b)
+    with pltpu.force_tpu_interpret_mode():
+        d0, e0, vs, taus = band_to_tridiag_strips_pallas(strips, n, b)
+        d1, e1, raw, traw = band_to_tridiag_strips_pallas(
+            strips, n, b, raw_record=True)
+    assert np.allclose(np.asarray(d0), np.asarray(d1))
+    assert np.allclose(np.asarray(taus), np.asarray(traw))
+    e_mat = jax.random.normal(jax.random.PRNGKey(3), (n, nev), jnp.float32)
+    out_cooked = bt_band_to_tridiag(e_mat, vs, taus, b, group_size=g)
+    win = b + g - 1
+    ep = jnp.concatenate([e_mat, jnp.zeros((win, nev), jnp.float32)])
+    out_raw = bt_band_to_tridiag(ep, raw, traw, b, group_size=g,
+                                 prepadded=True, raw_bp=128)[:n]
+    assert np.allclose(np.asarray(out_cooked), np.asarray(out_raw),
+                       atol=1e-6)
+
+
 def test_packed_to_strips_matches_extract_band():
     from dlaf_tpu.algos.eigensolver.red2band import extract_band, reduction_to_band
     n, b = 64, 8
