@@ -85,16 +85,45 @@ def wy_group_vt(vs_g, taus_g, sel):
     """
     vs_rev = vs_g[::-1]
     taus_rev = taus_g[::-1]
-    v = jnp.einsum("rjt,jt->rj", sel, vs_rev).astype(vs_g.dtype)
+    # HIGHEST: the 0/1 selection contraction must be exact — as a default
+    # (bf16) MXU matmul it ROUNDS every reflector entry to bf16
+    v = jnp.einsum("rjt,jt->rj", sel, vs_rev,
+                   precision=jax.lax.Precision.HIGHEST).astype(vs_g.dtype)
     t = t_factor(v, taus_rev)
     return v, t
 
 
+def _group_vt_all(vs_raw, taus, s0, g: int, b: int, bp: int, ncmax: int,
+                  sel):
+    """(V, V2) slabs for one group from the raw record: V (ncmax, 2b, g)
+    staggered WY trapezoids (zero row 2b-1) and V2 = V T^H prefolded, so
+    the streaming kernel's update is W - V2 (V^T W)."""
+    bpt = bp // 128
+    raw = lax.dynamic_slice(
+        vs_raw, (s0, jnp.int32(0), jnp.int32(0)),
+        (g, ncmax * bpt, 128)).reshape(g, ncmax, bp)[:, :, :b]
+    tau_g = lax.dynamic_slice(taus, (s0, jnp.int32(0)), (g, ncmax))
+    head = jnp.where(tau_g != 0, 1.0, 0.0).astype(vs_raw.dtype)
+    vs_fix = jnp.concatenate([head[:, :, None], raw[:, :, 1:]], axis=2)
+
+    def one(vg, tg):
+        v, t = wy_group_vt(vg, tg, sel)
+        return v, t
+
+    v, t = jax.vmap(one)(jnp.transpose(vs_fix, (1, 0, 2)), tau_g.T)
+    v = jnp.concatenate(
+        [v, jnp.zeros((ncmax, 2 * b - v.shape[1], g), v.dtype)], axis=1)
+    v2 = jnp.einsum("cwg,chg->cwh", v, jnp.conj(t),
+                    precision=matmul_precision())
+    return v, v2
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("b", "group_size", "prepadded", "raw_bp"))
+                   static_argnames=("b", "group_size", "prepadded", "raw_bp",
+                                    "shifted"))
 def bt_band_to_tridiag(e_mat, vs, taus, b: int, group_size: int = 64,
                        sweep_lo=0, prepadded: bool = False,
-                       raw_bp: int | None = None):
+                       raw_bp: int | None = None, shifted: bool = False):
     """E <- Q_stage2 E with grouped compact-WY application.
 
     The reference groups reflector applications per eigenvector tile
@@ -160,6 +189,33 @@ def bt_band_to_tridiag(e_mat, vs, taus, b: int, group_size: int = 64,
     # slice + update_slice pair writes back exactly what it read. The old
     # bound (nspad + ncmax*b + g - n ~ n extra rows) DOUBLED the matrix —
     # an 8.6 GB workspace at n = 32768, the round-4 stage-4 OOM.
+    if shifted:
+        # Streaming Pallas apply on the SHIFTED buffer (row r = E row r+1;
+        # E row 0 is untouched by stage 2 since every r0 >= 1): one
+        # read+write pass of E per group instead of per-chase window
+        # round-trips. Caller contract: raw record, g == b (mult of 128),
+        # buffer rows = (n/b + 2) * b.
+        from ...ops.pallas.bt_apply import apply_tile, bt_apply_group_pallas
+        if raw_bp is None or g != b or b % 128:
+            raise ValueError("shifted apply needs a raw record and "
+                             f"group_size == band (got g={g}, b={b})")
+        tile = apply_tile(nev, b)
+        if tile is None:
+            raise ValueError(f"nev={nev} not a multiple of 128")
+        nmat = n - 2 * b               # buffer rows = (nmat/b + 2) * b
+        lo = jnp.asarray(sweep_lo, jnp.int32)
+        sel = wy_select_tensor(g, b, dt)
+
+        def group_step(k, ep2):
+            s0 = jnp.asarray((ngroups - 1 - k) * g, jnp.int32)
+            v, v2 = _group_vt_all(vs, taus, s0, g, b, raw_bp, ncmax, sel)
+            abs0 = lo + s0
+            ncvalid = jnp.clip(-(-(nmat - 1 - abs0) // b), 1, ncmax)
+            return bt_apply_group_pallas(ep2, v, v2, abs0 // b, ncvalid,
+                                         b, tile)
+
+        return lax.fori_loop(0, ngroups, group_step, e_mat)
+
     win = b + g - 1
     if prepadded:
         ep, n = e_mat, n - win

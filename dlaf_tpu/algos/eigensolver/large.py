@@ -97,6 +97,53 @@ def _unpad_fn(n: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _zeros_fn(shape):
+    """On-device zero fill (a host jnp.zeros would cross the ~0.02 GB/s
+    tunnel; the record buffer is 4.3 GB at n = 32768)."""
+    return jax.jit(lambda: jnp.zeros(shape, jnp.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def _s4s_fn(b: int, gsz: int, raw_bp: int):
+    from .bt import bt_band_to_tridiag
+    return jax.jit(
+        lambda qq, vv, tt, lo_: bt_band_to_tridiag(
+            qq, vv, tt, b, group_size=gsz, sweep_lo=lo_, raw_bp=raw_bp,
+            shifted=True),
+        donate_argnums=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _shift_fn(b: int):
+    """(q) -> (row0, shifted buffer): rows [1:] of q plus 2b+1 zero pad
+    rows, so every stage-2 window is two b-row blocks (bt_apply layout).
+    Stage 2 never touches E row 0 (every window starts at r0 >= 1)."""
+    return jax.jit(
+        lambda qq: (qq[:1], jnp.concatenate(
+            [qq[1:], jnp.zeros((2 * b + 1, qq.shape[1]), qq.dtype)],
+            axis=0)),
+        donate_argnums=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _unshift_fn(n: int):
+    return jax.jit(
+        lambda r0, qq: jnp.concatenate([r0, qq[:n - 1]], axis=0),
+        donate_argnums=1)
+
+
+def _use_shifted_apply(nev: int, b: int, gsz: int, dtype) -> bool:
+    """Whether the streaming Pallas stage-4 apply path is available."""
+    if dtype != jnp.float32 or gsz != b or b % 128:
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    from ...ops.pallas.band2tridiag import chaser_feasible
+    from ...ops.pallas.bt_apply import apply_tile
+    return chaser_feasible(b, dtype) and apply_tile(nev, b) is not None
+
+
+@functools.lru_cache(maxsize=None)
 def _s5_fn(b: int):
     from .bt import bt_reduction_to_band
     return jax.jit(lambda qq, pp, tt: bt_reduction_to_band(qq, pp, tt, b),
@@ -116,11 +163,17 @@ def _chase(strips, n: int, b: int, sweep_lo, sweep_chunk, raw: bool = False):
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if on_tpu and strips.dtype in (jnp.float32, jnp.complex64) and b >= 8:
         from ...ops.pallas.band2tridiag import (band_to_tridiag_strips_pallas,
-                                                chaser_feasible)
+                                                chaser_feasible,
+                                                record_buf_shape)
         if chaser_feasible(b, strips.dtype):
             use_raw = raw and strips.dtype == jnp.float32
+            # the record buffer is allocated HERE and donated: the backend
+            # drops pallas-internal aliasing, which would hold the O(n^2)
+            # record twice (see band_to_tridiag_strips_pallas hh_buf doc)
+            hh0 = _zeros_fn(record_buf_shape(n, b, sweep_chunk,
+                                             strips.dtype))()
             out = band_to_tridiag_strips_pallas(
-                strips, n, b, sweep_lo=sweep_lo, sweep_chunk=sweep_chunk,
+                strips, n, b, sweep_lo, sweep_chunk, hh0,
                 raw_record=use_raw)
             return (*out, (-(-b // 128) * 128) if use_raw else None)
     out = band_to_tridiag_strips(strips, n, b, sweep_lo=sweep_lo,
@@ -181,18 +234,25 @@ def eigh_large(a, band: int | None = None, rec_chunks: int = 1,
     t0 = tick("stage3_tridiag_dc", t0, q)
 
     # ---- stage 4: stage-2 back-transform, chunked re-chase + apply ------
-    # q is padded ONCE by the stage-4 workspace rows and the padded buffer
-    # is donated through every chunk apply (a per-apply pad would hold two
-    # n^2 buffers at the concat peak).
-    q = _pad_fn(b + gsz - 1)(q)
+    # q is padded/shifted ONCE and the buffer is donated through every
+    # chunk apply (a per-apply pad would hold two n^2 buffers at the
+    # concat peak). On the TPU f32 contract path the apply is the
+    # streaming Pallas kernel (one E read+write pass per group).
+    use_shifted = _use_shifted_apply(n, b, gsz, q.dtype)
+    if use_shifted:
+        row0, q = _shift_fn(b)(q)
+    else:
+        q = _pad_fn(b + gsz - 1)(q)
     for ci in range(nchunks - 1, -1, -1):    # descending sweep order
         lo = ci * chunk
         _, _, vs_c, taus_c, raw_bp = _chase(strips, n, b, sweep_lo=lo,
                                             sweep_chunk=chunk, raw=True)
-        q = _s4_fn(b, gsz, raw_bp)(q, vs_c, taus_c, lo)
+        fn4 = _s4s_fn(b, gsz, raw_bp) if use_shifted \
+            else _s4_fn(b, gsz, raw_bp)
+        q = fn4(q, vs_c, taus_c, lo)
         del vs_c, taus_c
     del strips
-    q = _unpad_fn(n)(q)
+    q = _unshift_fn(n)(row0, q) if use_shifted else _unpad_fn(n)(q)
     t0 = tick("stage4_bt_band2tridiag", t0, q)
 
     # ---- stage 5: stage-1 back-transform (donates q) ---------------------

@@ -410,11 +410,22 @@ def _make_kernel(*, n, b, nsweeps, ncmax, nlanes, tsteps, ns_total, depth,
     return kernel
 
 
+def record_buf_shape(n: int, b: int, sweep_chunk: int | None, dtype):
+    """Shape of the chaser's raw reflector-record buffer (see hh_buf)."""
+    import numpy as _np
+    planes = 2 if _np.issubdtype(_np.dtype(dtype), _np.complexfloating) else 1
+    nrec = (n - 2) if sweep_chunk is None else sweep_chunk
+    ncmax = -(-(n - 1) // b)
+    bpt = (-(-b // ALIGN) * ALIGN) // ALIGN
+    return (planes, nrec + 1, ncmax * bpt, ALIGN)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("n", "b", "sweep_chunk", "raw_record"))
+                   static_argnames=("n", "b", "sweep_chunk", "raw_record"),
+                   donate_argnums=(5,))
 def band_to_tridiag_strips_pallas(strips, n: int, b: int, sweep_lo=0,
                                   sweep_chunk: int | None = None,
-                                  raw_record: bool = False):
+                                  hh_buf=None, raw_record: bool = False):
     """Wavefront bulge chasing on strip storage (f32 or c64, b >= 8).
 
     strips: (>= n_strips(n, b) + 3, b, 5b) f32/c64 strip storage.
@@ -429,6 +440,15 @@ def band_to_tridiag_strips_pallas(strips, n: int, b: int, sweep_lo=0,
     shared layout costs a full copy: the n = 32768 single-chunk stage-4
     OOM). Consumers fix the unit head per group (see
     ``bt.bt_band_to_tridiag(raw_bp=...)``).
+
+    ``hh_buf``: optional caller-allocated ZERO-FILLED record buffer of
+    shape ``record_buf_shape(n, b, sweep_chunk, dtype)``, DONATED. The
+    axon backend does not honor pallas input_output_aliases on buffers
+    created inside the jit (measured: alias 0, the 4.3 GB record held
+    TWICE at n = 32768), but parameter->output donation chains through the
+    custom call correctly — so contract-scale callers must pass the buffer
+    in. Zero-fill is semantic: (sweep, chase) slots the chase never visits
+    keep their initial value and must read as tau = 0 no-ops.
     """
     if strips.dtype == jnp.complex64:
         planes = (jnp.real(strips), jnp.imag(strips))
@@ -463,7 +483,13 @@ def band_to_tridiag_strips_pallas(strips, n: int, b: int, sweep_lo=0,
                           depth=depth, nw_w=nw_w, nrec=nrec, planes=P)
     bp = -(-b // ALIGN) * ALIGN          # lane-aligned reflector record
     bpt = bp // ALIGN                    # 128-wide lane tiles per record row
-    hh0 = jnp.zeros((P, nrec + 1, ncmax * bpt, ALIGN), jnp.float32)
+    hh_shape = (P, nrec + 1, ncmax * bpt, ALIGN)
+    if hh_buf is None:
+        hh0 = jnp.zeros(hh_shape, jnp.float32)
+    else:
+        assert hh_buf.shape == hh_shape and hh_buf.dtype == jnp.float32, \
+            (hh_buf.shape, hh_shape)
+        hh0 = hh_buf
     lo_arr = jnp.asarray([sweep_lo], jnp.int32)
     strips_out, hh = pl.pallas_call(
         kernel,
@@ -496,8 +522,9 @@ def band_to_tridiag_strips_pallas(strips, n: int, b: int, sweep_lo=0,
     if raw_record:
         if P != 1:
             raise ValueError("raw_record is f32-only")
-        # taus is a strided 1-lane gather (small output, no O(n^2) temp)
-        taus = hhc[:nrec].reshape(nrec, ncmax, bp)[:, :, 0]
+        # taus: direct strided slice of the raw layout — slicing through a
+        # reshape materialized a full O(n^2) record copy as an XLA temp
+        taus = hhc[:nrec, ::bpt, 0]
         return d, e, hhc, taus
     hhc = hhc[:nrec].reshape(nrec, ncmax, bp)[:, :, :b]
     taus = hhc[:, :, 0]

@@ -1,0 +1,195 @@
+"""Pallas TPU kernel: streaming grouped compact-WY stage-2 back-transform.
+
+Applies one group (``g = b`` consecutive sweeps) of bulge-chase reflectors
+to the eigenvector matrix — the hot half of ``bt_band_to_tridiag``
+(reference ``eigensolver/bt_band_to_tridiag/impl.h:177-535``). The pure-XLA
+grouped apply round-trips a (b+g-1, nev) window through HBM per chase
+(dynamic_slice + GEMMs + dynamic_update_slice ≈ 4 extra O(b·nev) buffer
+passes per chase); this kernel streams E through VMEM exactly once per
+group, carrying the window overlap between consecutive chases in VMEM, so
+per-group HBM traffic drops to read-once + write-once.
+
+Layout: with g == b (multiple of 128) and the chunk/sweep bases multiples
+of b, every window starts at matrix row r0 ≡ 1 (mod b). The caller holds E
+in SHIFTED form (buffer row r = E row r+1; E row 0 is never touched by
+stage-2 windows since every r0 >= 1), which makes every window exactly TWO
+b-row blocks — the WY trapezoid V is zero-padded from b+g-1 to 2b rows
+(the extra row is an exact no-op). Chase c reads fresh block base+c+1,
+reuses the carried updated block base+c from VMEM, computes
+
+    W (2b, T) <- W - V2[c] (V[c]^T W)        with V2 = V T^H prefolded,
+
+and drains the finalized first block. The per-group chase count is the
+EXACT ``ncvalid = ceil((n - 1 - abs_sweep0) / b)`` (chases past the band
+end are never visited), so every touched block index is in bounds by
+construction — no clamping, whose read/write divergence would corrupt the
+tail blocks.
+
+Grid: nev tiles x valid chases, chase innermost (sequential carry).
+Fresh-block reads are triple-buffered, V/V2 slabs prefetched two ahead,
+finalized writes drained N_WSLOT behind and fully drained at each tile-pass
+boundary — the slot scheme of ``band2tridiag``.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N_RSLOT = 3          # fresh-block read slots (prefetch depth N_RSLOT - 1)
+N_VSLOT = 3          # V/V2 slab slots (prefetch depth N_RSLOT - 1)
+N_WSLOT = 2          # finalized-block write drain slots
+
+
+def apply_tile(nev: int, b: int) -> int | None:
+    """Lane-tile width for the kernel, or None if nev is incompatible."""
+    del b
+    for t in (1024, 512, 256, 128):
+        if nev % t == 0:
+            return t
+    return None
+
+
+def _make_kernel(*, b, ncmax, nblk, njt, tile):
+    depth = N_RSLOT - 1
+
+    def kernel(scal_ref, ep_in, v_ref, v2_ref, ep_ref,
+               rbuf, vbuf, v2buf, wbuf, fbuf, rsem, vsem, wsem, fsem):
+        del ep_in
+        base = scal_ref[0]
+        ncvalid = scal_ref[1]          # in [1, ncmax]
+
+        def lanes(jt):
+            return pl.ds(pl.multiple_of(jt * tile, 128), tile)
+
+        def read_dma(jt, c, slot):
+            return pltpu.make_async_copy(
+                ep_ref.at[base + c + 1, :, lanes(jt)], rbuf.at[slot],
+                rsem.at[slot])
+
+        def v_dmas(c, slot):
+            return [pltpu.make_async_copy(v_ref.at[c], vbuf.at[slot],
+                                          vsem.at[slot, 0]),
+                    pltpu.make_async_copy(v2_ref.at[c], v2buf.at[slot],
+                                          vsem.at[slot, 1])]
+
+        def write_dma(jt, c, slot):
+            return pltpu.make_async_copy(
+                wbuf.at[slot], ep_ref.at[base + c, :, lanes(jt)],
+                wsem.at[slot])
+
+        def issue(jt, c):
+            @pl.when(c < ncvalid)
+            def _():
+                read_dma(jt, c, c % N_RSLOT).start()
+                for cp in v_dmas(c, c % N_VSLOT):
+                    cp.start()
+
+        def pass_body(jt, _):
+            # seed carry for this tile pass: block `base` (sync, once/pass)
+            cp = pltpu.make_async_copy(ep_ref.at[base, :, lanes(jt)],
+                                       fbuf, fsem)
+            cp.start()
+            cp.wait()
+            carry0 = fbuf[...]
+            for k in range(depth):
+                issue(jt, k)
+
+            def chase(c, carry):
+                issue(jt, c + depth)
+                read_dma(jt, c, c % N_RSLOT).wait()
+                fresh = rbuf[c % N_RSLOT]
+                for cpv in v_dmas(c, c % N_VSLOT):
+                    cpv.wait()
+                w = jnp.concatenate([carry, fresh], axis=0)   # (2b, tile)
+                # HIGHEST: default f32 dot is a single bf16 MXU pass, which
+                # costs ~30x in the eigensolver residuals (measured orth
+                # 1.2e-4 -> 3.3e-3 at n = 8192)
+                vw = jnp.dot(vbuf[c % N_VSLOT].T, w,
+                             precision=lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+                new = w - jnp.dot(v2buf[c % N_VSLOT], vw,
+                                  precision=lax.Precision.HIGHEST,
+                                  preferred_element_type=jnp.float32)
+                wslot = c % N_WSLOT
+
+                @pl.when(c >= N_WSLOT)
+                def _():
+                    write_dma(jt, c - N_WSLOT, wslot).wait()
+                wbuf[wslot] = new[:b]
+                write_dma(jt, c, wslot).start()
+                return new[b:]
+
+            carry = lax.fori_loop(0, ncvalid, chase, carry0)
+
+            # drain this pass's outstanding block writes
+            for k in range(N_WSLOT):
+                c = ncvalid - 1 - k
+
+                @pl.when(c >= 0)
+                def _(c=c):
+                    write_dma(jt, c, c % N_WSLOT).wait()
+
+            # flush the carried block base+ncvalid (sync, dedicated buffer)
+            fbuf[...] = carry
+            cpf = pltpu.make_async_copy(
+                fbuf, ep_ref.at[base + ncvalid, :, lanes(jt)], fsem)
+            cpf.start()
+            cpf.wait()
+            return 0
+
+        lax.fori_loop(0, njt, pass_body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("b", "tile"))
+def bt_apply_group_pallas(ep2, v, v2, base_blk, ncvalid, b: int,
+                          tile: int = 1024):
+    """Apply one group's chases to the SHIFTED eigenvector buffer in place.
+
+    ep2: (nblk*b, nev) f32 — E rows [1:] plus >= 2b+1 pad rows (see module
+         doc; content of the pad rows is irrelevant).
+    v:   (ncmax, 2b, b) f32 — per-chase WY trapezoids, zero row 2b-1.
+    v2:  (ncmax, 2b, b) f32 — V T^H prefolded.
+    base_blk: int32 scalar — block index of the group's first window
+              ((lo + s0) // b).
+    ncvalid: int32 scalar in [1, ncmax] — the group's valid chase count
+             ceil((n - 1 - (lo + s0)) / b).
+    """
+    nrows, nev = ep2.shape
+    assert nrows % b == 0 and nev % tile == 0 and b % 128 == 0
+    nblk = nrows // b
+    ncmax = v.shape[0]
+    njt = nev // tile
+    ep3 = ep2.reshape(nblk, b, nev)
+    kernel = _make_kernel(b=b, ncmax=ncmax, nblk=nblk, njt=njt, tile=tile)
+    scal = jnp.stack([jnp.asarray(base_blk, jnp.int32),
+                      jnp.asarray(ncvalid, jnp.int32)])
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(ep3.shape, ep3.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((N_RSLOT, b, tile), jnp.float32),
+            pltpu.VMEM((N_VSLOT, 2 * b, b), jnp.float32),
+            pltpu.VMEM((N_VSLOT, 2 * b, b), jnp.float32),
+            pltpu.VMEM((N_WSLOT, b, tile), jnp.float32),
+            pltpu.VMEM((b, tile), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_RSLOT,)),
+            pltpu.SemaphoreType.DMA((N_VSLOT, 2)),
+            pltpu.SemaphoreType.DMA((N_WSLOT,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(scal, ep3, v, v2)
+    return out.reshape(nrows, nev)

@@ -102,6 +102,38 @@ def test_bt_raw_record_matches_cooked_interpret():
                        atol=1e-6)
 
 
+@pytest.mark.parametrize("nev", [
+    256,
+    pytest.param(640, marks=pytest.mark.slow),  # njt > 1: multi-pass seams
+])
+def test_bt_shifted_streaming_apply_matches_cooked_interpret(nev):
+    """The streaming Pallas stage-4 apply (shifted two-block windows, VMEM
+    overlap carry — the n=32768 contract path) must match the cooked-record
+    XLA apply."""
+    from jax.experimental.pallas import tpu as pltpu
+    from dlaf_tpu.algos.eigensolver.bt import bt_band_to_tridiag
+    from dlaf_tpu.ops.pallas.band2tridiag import band_to_tridiag_strips_pallas
+    n, b = 256, 128
+    chunk = 256                       # nsweeps (254) rounded up to g = b
+    band = _band(n, b, np.float32)
+    strips = bs.band_to_strips(band, b)
+    with pltpu.force_tpu_interpret_mode():
+        _, _, vs, taus = band_to_tridiag_strips_pallas(
+            strips, n, b, sweep_lo=0, sweep_chunk=chunk)
+        _, _, raw, traw = band_to_tridiag_strips_pallas(
+            strips, n, b, sweep_lo=0, sweep_chunk=chunk, raw_record=True)
+        e_mat = jax.random.normal(jax.random.PRNGKey(3), (n, nev),
+                                  jnp.float32)
+        out_cooked = bt_band_to_tridiag(e_mat, vs, taus, b, group_size=b)
+        ep2 = jnp.concatenate(
+            [e_mat[1:], jnp.zeros((2 * b + 1, nev), jnp.float32)], axis=0)
+        out2 = bt_band_to_tridiag(ep2, raw, traw, b, group_size=b,
+                                  sweep_lo=0, raw_bp=128, shifted=True)
+    out_shifted = jnp.concatenate([e_mat[:1], out2[:n - 1]], axis=0)
+    err = float(jnp.max(jnp.abs(out_cooked - out_shifted)))
+    assert err <= 1e-5, err
+
+
 def test_packed_to_strips_matches_extract_band():
     from dlaf_tpu.algos.eigensolver.red2band import extract_band, reduction_to_band
     n, b = 64, 8
