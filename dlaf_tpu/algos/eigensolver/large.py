@@ -13,13 +13,17 @@ pipeline needs ~5-6 n^2 live f32 buffers = 20-24 GB and OOMs — round-3
   3. tridiagonal D&C with the j-chunked top merge (see
      tridiag_dc._merge_vectors): peak qt + qnewT = 2 n^2, pinned extras
      only ``packed`` (n^2) + strips
-  4. stage-2 back-transform in ``rec_chunks`` sweep chunks: each chunk
-     RE-CHASES the O(n b) band recording only its n^2/rec_chunks slice of
-     reflectors, then applies it (grouped compact-WY). The band re-chase
-     is O(n^2 b) flops — cheap next to the O(n^3) it unblocks; trading
-     ~2 extra chase passes for never holding the full n^2 record is the
-     same storage-vs-recompute decision the reference makes by keeping
-     stage 2 on the O(n b) 1-D band layout
+  4. stage-2 back-transform in ``rec_chunks`` sweep chunks (default 1):
+     each chunk RE-CHASES the O(n b) band recording its reflector slice
+     into a caller-allocated DONATED raw buffer (no cooked copy; see
+     ``band2tridiag raw_record``), then applies it — on the TPU f32 path
+     through the streaming Pallas kernel (``ops/pallas/bt_apply``) on the
+     1-row-shifted eigenvector buffer, one E read+write pass per group.
+     Peak during chunk ci: E(n^2) + record(n^2/rec_chunks) + packed(n^2).
+     The re-chase is O(n^2 b) flops — cheap next to the O(n^3) it
+     unblocks; re-deriving (d, e) rather than pinning the record through
+     stage 3 is the same storage-vs-recompute decision the reference
+     makes by keeping stage 2 on the O(n b) 1-D band layout
      (``band_to_tridiag/mc.h:438-662``, ``get_1d_block_size.h:19-21``).
   5. stage-1 back-transform (donating the eigenvector matrix).
 
@@ -81,26 +85,32 @@ def _s4_fn(b: int, gsz: int, raw_bp: int | None = None):
 
 
 @functools.lru_cache(maxsize=None)
-def _pad_fn(win: int):
-    """Extend q by the stage-4 workspace rows ONCE (donated): the padded
-    buffer is threaded through every chunk apply, so no apply ever holds a
-    second n^2 copy (the rec_chunks=1 peak-HBM enabler)."""
+def _pad_fn():
+    """Write q into the pre-zeroed workspace buffer ONCE (BOTH donated):
+    the padded buffer is threaded through every chunk apply, so no apply
+    ever holds a second n^2 copy (the rec_chunks=1 peak-HBM enabler).
+    dynamic-update-slice aliases ``buf`` to the output; a concatenate
+    CANNOT donate (its output shape differs from every input), which held
+    q twice and OOM'd the n=32768 shift at a 13.0 GB plan (round 4)."""
     return jax.jit(
-        lambda qq: jnp.concatenate(
-            [qq, jnp.zeros((win, qq.shape[1]), qq.dtype)], axis=0),
-        donate_argnums=0)
+        lambda buf, qq: jax.lax.dynamic_update_slice(buf, qq, (0, 0)),
+        donate_argnums=(0, 1))
 
 
 @functools.lru_cache(maxsize=None)
 def _unpad_fn(n: int):
-    return jax.jit(lambda qq: qq[:n], donate_argnums=0)
+    """Copy the live rows back into an exactly-(n, n) buffer (BOTH
+    donated; see _pad_fn for why this is a DUS and not a slice)."""
+    return jax.jit(
+        lambda buf, qq: jax.lax.dynamic_update_slice(buf, qq[:n], (0, 0)),
+        donate_argnums=(0, 1))
 
 
 @functools.lru_cache(maxsize=None)
-def _zeros_fn(shape):
+def _zeros_fn(shape, dtype=jnp.float32):
     """On-device zero fill (a host jnp.zeros would cross the ~0.02 GB/s
     tunnel; the record buffer is 4.3 GB at n = 32768)."""
-    return jax.jit(lambda: jnp.zeros(shape, jnp.float32))
+    return jax.jit(lambda: jnp.zeros(shape, dtype))
 
 
 @functools.lru_cache(maxsize=None)
@@ -114,22 +124,25 @@ def _s4s_fn(b: int, gsz: int, raw_bp: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _shift_fn(b: int):
-    """(q) -> (row0, shifted buffer): rows [1:] of q plus 2b+1 zero pad
-    rows, so every stage-2 window is two b-row blocks (bt_apply layout).
-    Stage 2 never touches E row 0 (every window starts at r0 >= 1)."""
+def _shift_fn(n: int):
+    """(pre-zeroed buf, q) -> (row0, shifted buffer): rows [1:] of q at
+    row 0 of ``buf`` (whose 2b zero tail pads the last windows), so every
+    stage-2 window is two b-row blocks (bt_apply layout). Stage 2 never
+    touches E row 0 (every window starts at r0 >= 1). DUS form for the
+    same donation reason as _pad_fn."""
     return jax.jit(
-        lambda qq: (qq[:1], jnp.concatenate(
-            [qq[1:], jnp.zeros((2 * b + 1, qq.shape[1]), qq.dtype)],
-            axis=0)),
-        donate_argnums=0)
+        lambda buf, qq: (qq[:1],
+                         jax.lax.dynamic_update_slice(buf, qq[1:], (0, 0))),
+        donate_argnums=(0, 1))
 
 
 @functools.lru_cache(maxsize=None)
 def _unshift_fn(n: int):
     return jax.jit(
-        lambda r0, qq: jnp.concatenate([r0, qq[:n - 1]], axis=0),
-        donate_argnums=1)
+        lambda buf, r0, qq: jax.lax.dynamic_update_slice(
+            jax.lax.dynamic_update_slice(buf, r0, (0, 0)),
+            qq[:n - 1], (1, 0)),
+        donate_argnums=(0, 2))
 
 
 def _use_shifted_apply(nev: int, b: int, gsz: int, dtype) -> bool:
@@ -240,9 +253,12 @@ def eigh_large(a, band: int | None = None, rec_chunks: int = 1,
     # streaming Pallas kernel (one E read+write pass per group).
     use_shifted = _use_shifted_apply(n, b, gsz, q.dtype)
     if use_shifted:
-        row0, q = _shift_fn(b)(q)
+        buf = _zeros_fn((n + 2 * b, n), q.dtype)()
+        row0, q = _shift_fn(n)(buf, q)
     else:
-        q = _pad_fn(b + gsz - 1)(q)
+        buf = _zeros_fn((n + b + gsz - 1, n), q.dtype)()
+        q = _pad_fn()(buf, q)
+    del buf
     for ci in range(nchunks - 1, -1, -1):    # descending sweep order
         lo = ci * chunk
         _, _, vs_c, taus_c, raw_bp = _chase(strips, n, b, sweep_lo=lo,
@@ -252,7 +268,10 @@ def eigh_large(a, band: int | None = None, rec_chunks: int = 1,
         q = fn4(q, vs_c, taus_c, lo)
         del vs_c, taus_c
     del strips
-    q = _unshift_fn(n)(row0, q) if use_shifted else _unpad_fn(n)(q)
+    out = _zeros_fn((n, n), q.dtype)()
+    q = _unshift_fn(n)(out, row0, q) if use_shifted \
+        else _unpad_fn(n)(out, q)
+    del out
     t0 = tick("stage4_bt_band2tridiag", t0, q)
 
     # ---- stage 5: stage-1 back-transform (donates q) ---------------------

@@ -209,11 +209,12 @@ def section_heev(res: Result):
     ne = 8192
     ah = gen.random_hermitian(jax.random.PRNGKey(2), ne, jnp.float32)
 
-    # band self-tuning (stage 2 is iteration-bound; wider band = fewer
-    # windows) with the residual gate probed per candidate
+    # band self-tuning (the chase moves ~9 n^2 b bytes: narrower band =
+    # less traffic but more windows; wider = fewer stage-4 groups) with
+    # the residual gate probed per candidate
     band_times = {}
     best_band = 128
-    for cand in (128, 256):
+    for cand in (64, 128, 256):
         try:
             eigh_fn = jax.jit(lambda x, b_=cand: dt.eigh(x, band=b_))
             w, v = eigh_fn(ah)
@@ -229,10 +230,10 @@ def section_heev(res: Result):
         except Exception as exc:  # noqa: BLE001
             band_times[cand] = repr(exc)[:120]
         res.update(band_ab_seconds={str(k): v for k, v in band_times.items()})
-    if isinstance(band_times.get(256), float) and \
-            isinstance(band_times.get(128), float) and \
-            band_times[256] < band_times[128]:
-        best_band = 256
+    timed_bands = {k: v for k, v in band_times.items()
+                   if isinstance(v, float)}
+    if timed_bands:
+        best_band = min(timed_bands, key=timed_bands.get)
     dt.set_tune_parameters(eigensolver_min_band=best_band)
 
     eigh_fn = jax.jit(lambda x, b_=best_band: dt.eigh(x, band=b_))
