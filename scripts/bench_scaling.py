@@ -56,10 +56,13 @@ from dlaf_tpu.matrix.dist_matrix import DistMatrix
 MESHES = [(1, 1), (1, 2), (2, 2), (2, 4)]
 
 
-def _time(fn, reps=3):
+_REPS = 3
+
+
+def _time(fn, reps=None):
     fn().data.block_until_ready()           # compile + warmup
     ts = []
-    for _ in range(reps):
+    for _ in range(reps or _REPS):
         t0 = time.perf_counter()
         fn().data.block_until_ready()
         ts.append(time.perf_counter() - t0)
@@ -123,7 +126,12 @@ def main():
     ap.add_argument("--nb", type=int, default=256)
     ap.add_argument("--eigh-nb", type=int, default=256)
     ap.add_argument("--mode", choices=["weak", "strong"], default="weak")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timed repetitions per point (min taken); 1 keeps "
+                         "the 8-device eigh A/B inside a wall budget")
     args = ap.parse_args()
+    global _REPS
+    _REPS = args.reps
 
     points = _sweep(args, "potrf")
     eargs = argparse.Namespace(**vars(args))
@@ -132,6 +140,7 @@ def main():
 
     out = {
         "mode": args.mode,
+        "reps": args.reps,
         "environment": "virtual CPU device mesh (XLA host platform) — "
                        "exercises the SPMD/collective program structure, "
                        "NOT ICI hardware throughput",

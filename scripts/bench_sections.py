@@ -339,6 +339,16 @@ def section_heev_big(res: Result):
         del a, w, v
     except Exception as exc:  # noqa: BLE001 - fall back to eigenvalues only
         res.update(full_evp_error=repr(exc)[:300])
+        evp_failed = True
+    else:
+        evp_failed = False
+    if evp_failed:
+        # the except block is OVER: the exception + traceback (which pin
+        # the failed attempt's ~13 GB of HBM through frame references) are
+        # dead; collect before retrying (round-4 lesson: the fallback
+        # OOM'd while the dead EVP frames still held q/packed/buf)
+        import gc
+        gc.collect()
         try:
             jax.clear_caches()
             from dlaf_tpu.algos.eigensolver.large import eigvalsh_large
