@@ -346,9 +346,13 @@ def section_heev_big(res: Result):
         # the except block is OVER: the exception + traceback (which pin
         # the failed attempt's ~13 GB of HBM through frame references) are
         # dead; collect before retrying (round-4 lesson: the fallback
-        # OOM'd while the dead EVP frames still held q/packed/buf)
+        # OOM'd while the dead EVP frames still held q/packed/buf).
+        # Then COOL DOWN: the tunnel server reclaims a crashed/OOM'd
+        # execution's HBM asynchronously (observed minutes-long lag); an
+        # immediate retry OOMs on buffers that are already logically dead.
         import gc
         gc.collect()
+        time.sleep(180)
         try:
             jax.clear_caches()
             from dlaf_tpu.algos.eigensolver.large import eigvalsh_large
