@@ -1,17 +1,31 @@
 """Headline benchmark orchestrator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (POTRF at
-n = 32768 vs the measured GEMM ceiling at the same matmul precision, i.e.
-fraction of practical MXU peak; BASELINE.md target >= 0.70), with HEEV etc.
-under extra keys. The full result set is written to BENCH_EXTRA.json.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline"}
+(POTRF at n = 32768 vs the measured GEMM ceiling at the same matmul
+precision, i.e. fraction of practical MXU peak; BASELINE.md target
+>= 0.70) TWICE: once, flushed, IMMEDIATELY after the potrf section
+completes — so a driver timeout during any later section still leaves a
+parseable tail — and once at the end with the full result set attached
+(the driver parses the LAST line). Round-4 failure mode: the single
+end-of-run print never happened (rc=124, tail="", parsed=null) even
+though the potrf section had measured a PASSING 0.7479 (recovered in
+BENCH_SECTIONS_r04.json).
+
+Section order is potrf -> smoke -> heev -> dist -> heev_big so the
+gate-relevant number can never be starved by the expensive section, and
+the expensive section (which depends on a non-degraded HBM state of the
+shared tunnel server, see BENCH_SECTIONS_r04.json) runs last.
 
 Each section runs in its OWN subprocess (scripts/bench_sections.py): the
 parent never initializes JAX, so sections acquire and release the chip in
-turn and one section's OOM/crash/timeout cannot poison the others
-(round-3 failure mode: the n=32768 EVP OOM cascaded into the eigvalsh
-fallback, BENCH_DIST refresh, and the kernel smoke). Sections checkpoint
-their JSON incrementally, so even a timeout leaves a partial artifact.
-The persistent compile cache (.jax_cache) is shared across sections.
+turn and one section's OOM/crash/timeout cannot poison the others.
+Sections checkpoint their JSON incrementally. The persistent compile
+cache (.jax_cache) is shared across sections.
+
+Wall calibration (round 5, warm compile cache): potrf ~200s, smoke ~60s,
+heev ~150s, dist ~300s, heev_big ~270s => ~1000s end-to-end; the default
+budget of 1500s leaves ~50% margin and caps the worst case well inside
+the driver window.
 """
 import json
 import os
@@ -22,15 +36,16 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 SECTIONS_PY = os.path.join(REPO, "scripts", "bench_sections.py")
 
-# (name, max share of the remaining budget, hard cap seconds)
+# (name, hard cap seconds); sections run in order, each gets
+# min(cap, remaining budget), and are skipped when remaining < MIN_SECTION_S
 PLAN = [
-    ("potrf", 0.40, 900),
-    ("heev", 0.30, 700),
-    ("heev_big", 0.60, 1200),
-    ("smoke", 0.20, 240),
-    ("dist", 1.00, 900),
+    ("potrf", 540),
+    ("smoke", 120),
+    ("heev", 480),
+    ("dist", 420),
+    ("heev_big", 700),
 ]
-MIN_SECTION_S = 120
+MIN_SECTION_S = 90
 
 
 def run_section(name, budget_s):
@@ -62,33 +77,43 @@ def run_section(name, budget_s):
     return data
 
 
-def main():
-    budget = float(os.environ.get("DLAF_BENCH_BUDGET_S", "2400"))
-    t_start = time.time()
-    results = {}
-    for name, share, cap in PLAN:
-        remaining = budget - (time.time() - t_start)
-        alloc = min(cap, max(remaining * share, MIN_SECTION_S))
-        if remaining < MIN_SECTION_S:
-            results[name] = {"skipped": "bench wall budget exhausted"}
-            continue
-        results[name] = run_section(name, alloc)
-
-    potrf = results.get("potrf", {})
+def headline(potrf, results):
     line = {
         "metric": f"potrf_f32_n{potrf.get('n', 32768)}_tflops",
         "value": potrf.get("potrf_tflops"),
         "unit": "TFLOP/s",
         "vs_baseline": potrf.get("vs_baseline"),
-        "heev": results.get("heev"),
-        "heev_32768": results.get("heev_big"),
     }
+    if "heev" in results:
+        line["heev"] = results["heev"]
+    if "heev_big" in results:
+        line["heev_32768"] = results["heev_big"]
+    return line
+
+
+def main():
+    budget = float(os.environ.get("DLAF_BENCH_BUDGET_S", "1500"))
+    t_start = time.time()
+    results = {}
+    for name, cap in PLAN:
+        remaining = budget - (time.time() - t_start)
+        if remaining < MIN_SECTION_S:
+            results[name] = {"skipped": "bench wall budget exhausted"}
+            continue
+        results[name] = run_section(name, min(cap, remaining))
+        if name == "potrf":
+            # flushed immediately: a timeout in ANY later section still
+            # leaves this parseable line in the captured tail
+            print(json.dumps(headline(results["potrf"], {})), flush=True)
+
+    potrf = results.get("potrf", {})
     with open(os.path.join(REPO, "BENCH_EXTRA.json"), "w") as f:
-        extra = {"potrf": potrf}
+        extra = {"potrf": potrf,
+                 "bench_wall_s": round(time.time() - t_start, 1)}
         extra.update({k: v for k, v in results.items() if k != "potrf"})
         json.dump(extra, f, indent=1)
         f.write("\n")
-    print(json.dumps(line))
+    print(json.dumps(headline(potrf, results)), flush=True)
 
 
 if __name__ == "__main__":

@@ -209,7 +209,15 @@ def bt_band_to_tridiag(e_mat, vs, taus, b: int, group_size: int = 64,
         def group_step(k, ep2):
             s0 = jnp.asarray((ngroups - 1 - k) * g, jnp.int32)
             v, v2 = _group_vt_all(vs, taus, s0, g, b, raw_bp, ncmax, sel)
-            abs0 = lo + s0
+            # clamp fully-invalid trailing groups (chunked records whose
+            # rounded sweep range overshoots nsweeps by >= 2b+2) into the
+            # last in-bounds window: their reflectors are all zero
+            # (tau == 0), so the clamped blocks are read and written back
+            # unchanged; partially-valid groups always have
+            # abs0 <= nmat - b already (abs0 is a multiple of b and
+            # abs0 <= nsweeps - 1 = nmat - 3). Without this the kernel
+            # DMAs past the (nmat + 2b, nev) buffer — silent OOB HBM R/W.
+            abs0 = jnp.minimum(lo + s0, jnp.int32(max(nmat - b, 0)))
             ncvalid = jnp.clip(-(-(nmat - 1 - abs0) // b), 1, ncmax)
             return bt_apply_group_pallas(ep2, v, v2, abs0 // b, ncvalid,
                                          b, tile)
@@ -275,8 +283,10 @@ def bt_reduction_to_band(e_mat, a_packed, taus, band: int,
     V): E is streamed pg x fewer times — the per-panel version was
     HBM-bound at ~29 TFLOP/s reading+writing E (3 n*nev passes) per b-wide
     panel — and the GEMM contraction widens from b to pg*b. Groups are
-    start-aligned; the ragged tail group reads zero-padded columns whose
-    tau = 0 makes them exact no-ops in T.
+    start-aligned; the ragged tail group is applied separately with its
+    TRUE static width (the old full-width zero-pad materialized a second
+    (n, n + pg*b) copy of ``a_packed`` — ~4.3 GB at n = 32768 — inside
+    the donated stage-5 jit).
     """
     n, nev = e_mat.shape
     b = band
@@ -286,23 +296,27 @@ def bt_reduction_to_band(e_mat, a_packed, taus, band: int,
     pg = max(1, min(panel_group, npanels))
     pgb = pg * b
     ngroups = -(-npanels // pg)
-    ap = jnp.concatenate(
-        [a_packed, jnp.zeros((n, pgb), a_packed.dtype)], axis=1)
-    tp_all = jnp.concatenate([taus, jnp.zeros((pgb,), taus.dtype)])
     rows = jnp.arange(n)
 
-    def group_step(k, e):
-        gk = ngroups - 1 - k               # groups applied in reverse order
-        j0 = gk * pgb                      # global first column of the group
-        panel = lax.dynamic_slice(ap, (0, j0), (n, pgb))
-        head = j0 + b + jnp.arange(pgb)    # head row of each column
+    def apply_group(e, j0, wcols: int):
+        panel = lax.dynamic_slice(a_packed, (0, j0), (n, wcols))
+        head = j0 + b + jnp.arange(wcols)  # head row of each column
         v = jnp.where(rows[:, None] > head[None, :], panel, 0)
-        v = v + jnp.where(rows[:, None] == head[None, :], 1.0, 0).astype(e.dtype)
-        tpg = lax.dynamic_slice(tp_all, (j0,), (pgb,))
+        v = v + jnp.where(rows[:, None] == head[None, :], 1.0,
+                          0).astype(e.dtype)
+        tpg = lax.dynamic_slice(taus, (j0,), (wcols,))
         t = t_factor(v, tpg)
         w = jnp.matmul(ct(v), e, precision=matmul_precision())
-        e = e - jnp.matmul(v, jnp.matmul(t, w, precision=matmul_precision()),
-                           precision=matmul_precision())
-        return e
+        return e - jnp.matmul(v, jnp.matmul(t, w,
+                                            precision=matmul_precision()),
+                              precision=matmul_precision())
 
-    return lax.fori_loop(0, ngroups, group_step, e_mat)
+    # groups applied in reverse panel order: the (possibly ragged) tail
+    # group first, then the uniform full-width groups in a fori_loop
+    wt = npanels - (ngroups - 1) * pg
+    e = apply_group(e_mat, (ngroups - 1) * pgb, wt * b)
+    if ngroups > 1:
+        e = lax.fori_loop(
+            0, ngroups - 1,
+            lambda k, e: apply_group(e, (ngroups - 2 - k) * pgb, pgb), e)
+    return e

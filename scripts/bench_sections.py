@@ -284,14 +284,44 @@ def section_heev(res: Result):
 # HEEV n=32768 (the BASELINE.json contract scale)
 
 
+def _hbm_contiguity_probe(res: Result, nblocks: int = 3) -> bool:
+    """Probe whether ``nblocks`` sequential 4.3 GB contiguous buffers fit
+    (the eigh_large n=32768 peak is 3 x n^2 f32 = 12.9 GB). The shared
+    tunnel server leaks HBM across crashed clients (round-4 diagnosis,
+    HEEV_32768.json caveat): on a degraded server the third block fails
+    and the contract-scale attempt would burn OOM -> cooldown -> OOM.
+    Returns True when the plan fits; records the skip reason otherwise."""
+    held = []
+    try:
+        for i in range(nblocks):
+            buf = jax.jit(lambda: jnp.zeros((32768, 32768), jnp.float32))()
+            _sync(buf)
+            held.append(buf)
+        return True
+    except Exception as exc:  # noqa: BLE001 - RESOURCE_EXHAUSTED expected
+        res.update(skipped_reason="hbm_degraded",
+                   hbm_probe=f"{len(held)}/{nblocks} 4.3GB blocks fit",
+                   hbm_probe_error=repr(exc)[:160])
+        return False
+    finally:
+        del held
+
+
 def section_heev_big(res: Result):
+    import os
+
     import dlaf_tpu as dt
     from dlaf_tpu.matrix import generators as gen
 
+    budget = float(os.environ.get("DLAF_BENCH_BUDGET_S", "700"))
+    t_section0 = time.perf_counter()
     dt.set_tune_parameters(matmul_precision="high")
     ovh = _overhead()
     nb2 = 32768
     eps32 = float(jnp.finfo(jnp.float32).eps)
+
+    if not _hbm_contiguity_probe(res):
+        return
 
     def mk_a():
         return gen.random_hermitian(jax.random.PRNGKey(3), nb2, jnp.float32)
@@ -350,9 +380,18 @@ def section_heev_big(res: Result):
         # Then COOL DOWN: the tunnel server reclaims a crashed/OOM'd
         # execution's HBM asynchronously (observed minutes-long lag); an
         # immediate retry OOMs on buffers that are already logically dead.
+        # The cooldown is BUDGET-AWARE (round-4 lesson: an unconditional
+        # 180s sleep pushed the whole bench past the driver timeout): the
+        # fallback needs ~120s; with less headroom, skip it.
         import gc
         gc.collect()
-        time.sleep(180)
+        headroom = budget - (time.perf_counter() - t_section0)
+        cooldown = min(180.0, headroom - 120.0)
+        if cooldown < 30.0:
+            res.update(fallback_skipped="insufficient budget for cooldown "
+                                        f"(headroom {headroom:.0f}s)")
+            return
+        time.sleep(cooldown)
         try:
             jax.clear_caches()
             from dlaf_tpu.algos.eigensolver.large import eigvalsh_large

@@ -134,6 +134,47 @@ def test_bt_shifted_streaming_apply_matches_cooked_interpret(nev):
     assert err <= 1e-5, err
 
 
+def test_bt_shifted_overshooting_chunk_plan_interpret():
+    """Chunked records whose rounded sweep range overshoots nsweeps by
+    >= 2b+2 put trailing groups at abs0 >= nmat + b; unclamped, the
+    streaming kernel DMAs one block past the (n+2b, nev) buffer (silent
+    OOB HBM R/W in production; advisor round-4 high finding). The clamp in
+    bt.py group_step must make those groups exact no-ops: n=896, b=128,
+    rec_chunks=3 gives chunk=384, covered=1152, overshoot=258 = 2b+2."""
+    from jax.experimental.pallas import tpu as pltpu
+    from dlaf_tpu.algos.eigensolver.bt import bt_band_to_tridiag
+    n, b, nev = 896, 128, 256
+    chunk, nchunks = 384, 3                     # eigh_large plan, rc=3
+    nsweeps = n - 2
+    band = _band(n, b, np.float32)
+    d0, e0, vs, taus = dense_ref(band, b)       # cooked oracle record
+    ncmax = vs.shape[1]
+    e_mat = jax.random.normal(jax.random.PRNGKey(3), (n, nev), jnp.float32)
+    out_cooked = bt_band_to_tridiag(e_mat, vs, taus, b, group_size=b)
+
+    # synthesize each chunk's RAW record (layout of band2tridiag
+    # raw_record: (chunk+1, ncmax*bpt, 128) with slot 0 junk) from the
+    # cooked record -- no chaser run needed
+    vs_np = np.asarray(vs)
+    taus_np = np.asarray(taus)
+    ep2 = jnp.concatenate(
+        [e_mat[1:], jnp.zeros((2 * b + 1, nev), jnp.float32)], axis=0)
+    with pltpu.force_tpu_interpret_mode():
+        for ci in range(nchunks - 1, -1, -1):   # descending sweep order
+            lo = ci * chunk
+            raw = np.zeros((chunk + 1, ncmax, 128), np.float32)
+            tch = np.zeros((chunk, ncmax), np.float32)
+            nvalid = max(0, min(chunk, nsweeps - lo))
+            raw[:nvalid, :, :b] = vs_np[lo:lo + nvalid]
+            tch[:nvalid] = taus_np[lo:lo + nvalid]
+            ep2 = bt_band_to_tridiag(ep2, jnp.asarray(raw), jnp.asarray(tch),
+                                     b, group_size=b, sweep_lo=lo,
+                                     raw_bp=128, shifted=True)
+    out_shifted = jnp.concatenate([e_mat[:1], ep2[:n - 1]], axis=0)
+    err = float(jnp.max(jnp.abs(out_cooked - out_shifted)))
+    assert err <= 1e-5, err
+
+
 def test_packed_to_strips_matches_extract_band():
     from dlaf_tpu.algos.eigensolver.red2band import extract_band, reduction_to_band
     n, b = 64, 8
