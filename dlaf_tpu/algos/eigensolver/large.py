@@ -85,6 +85,26 @@ def _s4_fn(b: int, gsz: int, raw_bp: int | None = None):
 
 
 @functools.lru_cache(maxsize=None)
+def _phase_fn(dtname: str):
+    """(d, e complex) -> (|e|, phases) for the real-subdiagonal transform
+    (driver._phase_normalize): T = diag(phi) T_real diag(phi)^H."""
+    from .driver import _phase_normalize
+    dt = jnp.dtype(dtname)
+    return jax.jit(lambda e: _phase_normalize(e, dt))
+
+
+@functools.lru_cache(maxsize=None)
+def _pad_phase_fn():
+    """Complex stage-4 entry: write phases * q_real into the pre-zeroed
+    COMPLEX workspace buffer (buf donated; the separate to-complex +
+    pad would hold one more n^2 complex buffer at the peak)."""
+    return jax.jit(
+        lambda buf, qq, ph: jax.lax.dynamic_update_slice(
+            buf, ph[:, None] * qq.astype(buf.dtype), (0, 0)),
+        donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=None)
 def _pad_fn():
     """Write q into the pre-zeroed workspace buffer ONCE (BOTH donated):
     the padded buffer is threaded through every chunk apply, so no apply
@@ -211,9 +231,8 @@ def eigh_large(a, band: int | None = None, rec_chunks: int = 1,
     if n % b or n <= b:
         raise ValueError(f"eigh_large needs n % band == 0 and n > band "
                          f"(n={n}, band={b}); use driver.eigh")
-    if jnp.issubdtype(a.dtype, jnp.complexfloating):
-        raise ValueError("eigh_large is real-only (no subdiagonal phase "
-                         "normalization); use driver.eigh for complex")
+    cplx = bool(jnp.issubdtype(a.dtype, jnp.complexfloating))
+    in_dtype = a.dtype
     nsweeps = n - 2
     # chunk length: multiple of the WY group size so chunked application
     # is an exact reproduction of the unchunked descending order
@@ -243,6 +262,12 @@ def eigh_large(a, band: int | None = None, rec_chunks: int = 1,
     t0 = tick("stage2_band2tridiag", t0, e)
 
     # ---- stage 3: tridiagonal D&C (j-chunked top merge) ------------------
+    # complex input: make the subdiagonal real first (phase similarity,
+    # reference: band->tridiag yields real T for hermitian input; see
+    # driver._phase_normalize), solve the REAL tridiagonal problem, then
+    # map eigenvectors back with the phases below
+    if cplx:
+        e, phases = _phase_fn(str(jnp.dtype(in_dtype)))(e)
     w, q = _s3_fn(tune.laed4_max_iter)(d, e)
     t0 = tick("stage3_tridiag_dc", t0, q)
 
@@ -251,10 +276,14 @@ def eigh_large(a, band: int | None = None, rec_chunks: int = 1,
     # chunk apply (a per-apply pad would hold two n^2 buffers at the
     # concat peak). On the TPU f32 contract path the apply is the
     # streaming Pallas kernel (one E read+write pass per group).
-    use_shifted = _use_shifted_apply(n, b, gsz, q.dtype)
+    use_shifted = not cplx and _use_shifted_apply(n, b, gsz, q.dtype)
     if use_shifted:
         buf = _zeros_fn((n + 2 * b, n), q.dtype)()
         row0, q = _shift_fn(n)(buf, q)
+    elif cplx:
+        buf = _zeros_fn((n + b + gsz - 1, n), in_dtype)()
+        q = _pad_phase_fn()(buf, q, phases)
+        del phases
     else:
         buf = _zeros_fn((n + b + gsz - 1, n), q.dtype)()
         q = _pad_fn()(buf, q)
@@ -300,5 +329,8 @@ def eigvalsh_large(a, band: int | None = None):
     del packed
     d, e, _vs, _t, _ = _chase(strips, n, b, sweep_lo=n - 1, sweep_chunk=gsz)
     del strips, _vs, _t
+    if jnp.issubdtype(e.dtype, jnp.complexfloating):
+        # eigenvalues of T equal those of the phase-similar real tridiagonal
+        e, _ = _phase_fn(str(jnp.dtype(e.dtype)))(e)
     w, _ = _s3_fn(tune.laed4_max_iter)(d, e)
     return w

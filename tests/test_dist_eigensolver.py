@@ -22,8 +22,13 @@ def test_dist_red2band_matches_local(grid_size):
     dm = DistMatrix.from_global(a, nb, Grid(grid_size))
     packed_d, taus_d = reduction_to_band_dist(dm)
     packed_l, taus_l = reduction_to_band(a, nb)
-    np.testing.assert_allclose(np.asarray(packed_d.to_global()),
-                               np.asarray(packed_l), atol=1e-12)
+    # the packed contract covers ONLY the lower triangle (band diagonals +
+    # reflectors strictly below; extract_band/packed_to_strips/
+    # bt_reduction_to_band never read above the diagonal) — the dead upper
+    # wedge legitimately differs between the local symmetric-window update
+    # and the distributed panel sweep
+    np.testing.assert_allclose(np.tril(np.asarray(packed_d.to_global())),
+                               np.tril(np.asarray(packed_l)), atol=1e-12)
     np.testing.assert_allclose(np.asarray(taus_d)[:n], np.asarray(taus_l),
                                atol=1e-12)
 

@@ -46,6 +46,27 @@ def test_eigh_large_matches_driver(n, b, chunks, real_dtype_p):
                                atol=tol(dtype, n) * max(np.abs(an).max(), 1))
 
 
+@pytest.mark.parametrize("dtype,n,b,chunks", [
+    (np.complex64, 128, 32, 1),
+    (np.complex64, 256, 64, 2),
+    pytest.param(np.complex128, 128, 32, 1, marks=pytest.mark.slow),
+])
+def test_eigh_large_complex(dtype, n, b, chunks):
+    """Complex path: phase-normalized real tridiagonal (stage 3), phases
+    folded into the stage-4 workspace pad, complex back-transforms
+    (reference z-dispatch: miniapp/include/dlaf/miniapp/dispatch.h:17-60)."""
+    from dlaf_tpu.algos.eigensolver.large import eigvalsh_large
+    a = gen.random_hermitian(jax.random.PRNGKey(n + chunks), n,
+                             jnp.dtype(dtype))
+    an = np.asarray(a)
+    w, v = eigh_large(a + 0, band=b, rec_chunks=chunks)
+    rdt = np.finfo(dtype).dtype
+    _check(an, w, v, n, rdt)
+    wv = eigvalsh_large(a + 0, band=b)
+    np.testing.assert_allclose(np.asarray(wv), np.asarray(w),
+                               atol=tol(rdt, n) * max(np.abs(an).max(), 1))
+
+
 def test_eigh_large_small_group_chunks():
     # chunk boundaries at multiples of a small WY group size exercise > 2
     # chunks without contract-scale shapes
@@ -68,9 +89,9 @@ def test_eigh_large_timers_and_guards():
                             "stage3_tridiag_dc", "stage4_bt_band2tridiag",
                             "stage5_bt_red2band"}
     with pytest.raises(ValueError):
-        eigh_large(jnp.zeros((100, 100), jnp.float32), band=32)
+        eigh_large(jnp.zeros((100, 100), jnp.float32), band=32)  # n % b
     with pytest.raises(ValueError):
-        eigh_large(jnp.zeros((128, 128), jnp.complex64), band=32)
+        eigh_large(jnp.zeros((32, 32), jnp.float32), band=32)    # n <= b
 
 
 def test_merge_vectors_j_chunked_matches():
