@@ -34,7 +34,10 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
     except RuntimeError:
         pass  # backend already live
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/repo/.jax_cache_cpu"
+                  if os.environ.get("JAX_PLATFORMS") == "cpu"
+                  else "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 _fence = jax.jit(lambda y: y.ravel()[-1])

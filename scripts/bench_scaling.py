@@ -43,7 +43,10 @@ jax.config.update("jax_platforms", "cpu")
 # must be set BEFORE the backend initializes (any jax.devices() call);
 # ineffective afterwards
 jax.config.update("jax_num_cpu_devices", 8)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/repo/.jax_cache_cpu"
+                  if os.environ.get("JAX_PLATFORMS") == "cpu"
+                  else "/root/repo/.jax_cache")
 
 import jax.numpy as jnp
 

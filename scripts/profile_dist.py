@@ -17,10 +17,15 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+import os
+
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/repo/.jax_cache_cpu"
+                  if os.environ.get("JAX_PLATFORMS") == "cpu"
+                  else "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 _fence = jax.jit(lambda y: y.ravel()[-1])

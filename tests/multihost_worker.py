@@ -26,7 +26,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 2)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 
 jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                            num_processes=nprocs, process_id=proc_id)
