@@ -290,11 +290,21 @@ def eigh_large(a, band: int | None = None, rec_chunks: int = 1,
     del buf
     for ci in range(nchunks - 1, -1, -1):    # descending sweep order
         lo = ci * chunk
+        tc = time.perf_counter()
         _, _, vs_c, taus_c, raw_bp = _chase(strips, n, b, sweep_lo=lo,
                                             sweep_chunk=chunk, raw=True)
+        if timers:
+            _fence(vs_c)
+            stage_s["stage4a_rechase"] = \
+                stage_s.get("stage4a_rechase", 0.0) + time.perf_counter() - tc
+            tc = time.perf_counter()
         fn4 = _s4s_fn(b, gsz, raw_bp) if use_shifted \
             else _s4_fn(b, gsz, raw_bp)
         q = fn4(q, vs_c, taus_c, lo)
+        if timers:
+            _fence(q)
+            stage_s["stage4b_apply"] = \
+                stage_s.get("stage4b_apply", 0.0) + time.perf_counter() - tc
         del vs_c, taus_c
     del strips
     out = _zeros_fn((n, n), q.dtype)()

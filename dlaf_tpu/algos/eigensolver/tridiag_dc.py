@@ -228,8 +228,11 @@ def _merge(d, z, rho, tol_scale, laed4_iter):
     tiny = jnp.finfo(dt).tiny * 1e4
 
     def fval(mu):
-        """f at lam = ds_i + mu (mu-based; only used for the side decision)."""
-        den = ds[None, :] - (ds + mu)[:, None]   # ds_j - ds_i - mu_i
+        """f at lam = ds_i + mu (mu-based; only used for the side decision).
+        Pole differences FIRST (LAPACK dlaed4 style): rounding (ds_i + mu_i)
+        before subtracting would lose the pole gap for clustered spectra
+        with large |ds| and could flip the root-side decision."""
+        den = (ds[None, :] - ds[:, None]) - mu[:, None]   # (ds_j - ds_i) - mu
         safe = jnp.where(jnp.abs(den) < tiny,
                          jnp.where(den < 0, -tiny, tiny), den)
         return 1.0 + rho * jnp.sum(z2r[None, :] / safe, axis=1)

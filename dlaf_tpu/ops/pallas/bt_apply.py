@@ -45,11 +45,25 @@ N_VSLOT = 3          # V/V2 slab slots (prefetch depth N_RSLOT - 1)
 N_WSLOT = 2          # finalized-block write drain slots
 
 
+VMEM_BUDGET = 15 << 20   # scoped-vmem limit is 16 MiB; leave compiler slack
+
+
+def _vmem_bytes(b: int, tile: int) -> int:
+    """Scoped VMEM of one kernel instance: scratch buffers + the compute
+    temporaries (w concat, vw, new ~ 5*b*tile). Measured calibration:
+    b=256/tile=1024 lowers to 16.23 MiB (just over the 16 MiB limit),
+    b=128/tile=1024 to ~7 MiB."""
+    scratch = (N_RSLOT + N_WSLOT + 1) * b * tile + 2 * N_VSLOT * 2 * b * b
+    temps = 8 * b * tile          # calibrated: b=256/tile=1024 -> 16.23 MiB
+    return 4 * (scratch + temps)
+
+
 def apply_tile(nev: int, b: int) -> int | None:
-    """Lane-tile width for the kernel, or None if nev is incompatible."""
-    del b
+    """Largest lane-tile width that fits scoped VMEM, or None if nev is
+    incompatible (the round-4 b-agnostic choice OOM'd Mosaic's scoped
+    allocation at b=256, tile=1024)."""
     for t in (1024, 512, 256, 128):
-        if nev % t == 0:
+        if nev % t == 0 and _vmem_bytes(b, t) <= VMEM_BUDGET:
             return t
     return None
 

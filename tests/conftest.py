@@ -13,13 +13,20 @@ hardware tests — Pallas kernels and the local drivers on the actual chip.
 import os
 import resource
 
-# XLA's executable (de)serializer recurses deeply on the big eigensolver
-# programs; with the default 8 MiB stack the persistent-compile-cache
-# read/write path segfaults (observed: put/get_executable_and_time).
-# Raise the main-thread stack limit before jax initializes.
+# XLA's executable (de)serializer and some big compiled CPU programs
+# recurse/allocate deeply; with the default 8 MiB stacks the
+# persistent-compile-cache path and long full-suite runs segfault
+# (observed: put/get_executable_and_time; round-5 full-suite SIGSEGV in
+# _pjit_call_impl_python). A FINITE rlimit is deliberate: glibc uses the
+# soft RLIMIT_STACK as the default pthread stack size only when it is
+# finite, so this also covers XLA's worker threads (RLIM_INFINITY would
+# leave them at the 8 MiB glibc default).
 try:
-    resource.setrlimit(resource.RLIMIT_STACK,
-                       (resource.RLIM_INFINITY, resource.RLIM_INFINITY))
+    _hard = resource.getrlimit(resource.RLIMIT_STACK)[1]
+    _want = 512 << 20
+    if _hard != resource.RLIM_INFINITY:
+        _want = min(_want, _hard)
+    resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
 except (ValueError, OSError):
     pass
 

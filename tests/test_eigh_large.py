@@ -87,7 +87,11 @@ def test_eigh_large_timers_and_guards():
     w, v, stage_s = eigh_large(a, band=32, timers=True)
     assert set(stage_s) == {"stage1_red2band", "stage2_band2tridiag",
                             "stage3_tridiag_dc", "stage4_bt_band2tridiag",
+                            "stage4a_rechase", "stage4b_apply",
                             "stage5_bt_red2band"}
+    # the sub-stage split accounts for (almost all of) stage 4
+    assert stage_s["stage4a_rechase"] + stage_s["stage4b_apply"] <= \
+        stage_s["stage4_bt_band2tridiag"] * 1.01 + 0.05
     with pytest.raises(ValueError):
         eigh_large(jnp.zeros((100, 100), jnp.float32), band=32)  # n % b
     with pytest.raises(ValueError):
