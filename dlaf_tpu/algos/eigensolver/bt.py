@@ -195,7 +195,9 @@ def bt_band_to_tridiag(e_mat, vs, taus, b: int, group_size: int = 64,
         # read+write pass of E per group instead of per-chase window
         # round-trips. Caller contract: raw record, g == b (mult of 128),
         # buffer rows = (n/b + 2) * b.
-        from ...ops.pallas.bt_apply import apply_tile, bt_apply_group_pallas
+        from ...ops.pallas.bt_apply import (apply_tile, bt_apply_fused_pallas,
+                                            bt_apply_group_pallas,
+                                            fused_groups)
         if raw_bp is None or g != b or b % 128:
             raise ValueError("shifted apply needs a raw record and "
                              f"group_size == band (got g={g}, b={b})")
@@ -203,6 +205,7 @@ def bt_band_to_tridiag(e_mat, vs, taus, b: int, group_size: int = 64,
         if tile is None:
             raise ValueError(f"nev={nev} not a multiple of 128")
         nmat = n - 2 * b               # buffer rows = (nmat/b + 2) * b
+        nbig = nmat // b               # first out-of-band block index
         lo = jnp.asarray(sweep_lo, jnp.int32)
         sel = wy_select_tensor(g, b, dt)
 
@@ -222,7 +225,39 @@ def bt_band_to_tridiag(e_mat, vs, taus, b: int, group_size: int = 64,
             return bt_apply_group_pallas(ep2, v, v2, abs0 // b, ncvalid,
                                          b, tile)
 
-        return lax.fori_loop(0, ngroups, group_step, e_mat)
+        from ...tune import get_tune_parameters as _tune
+        kf = min(fused_groups(nev, b, tile), _tune().bt_apply_fuse_groups)
+        while kf > ngroups:            # keep >= 1 genuinely fused step
+            kf //= 2
+        if kf < 2:
+            return lax.fori_loop(0, ngroups, group_step, e_mat)
+        # the first ngroups % kf groups (highest sweeps) go through the
+        # single-group kernel; the rest run kf-fused, one E pass per step
+        rpeel = ngroups % kf
+        e_mat = lax.fori_loop(0, rpeel, group_step, e_mat)
+
+        def fused_step(k2, ep2):
+            # fused step covers original groups gi = gi_top - j,
+            # j = 0..kf-1 (application order); geometric phantoms
+            # (window base at/past the band end) are the j < jb prefix
+            gi_top = jnp.asarray(ngroups - 1 - rpeel, jnp.int32) - k2 * kf
+            beta = lo // b + gi_top - (kf - 1)   # TOP group's base block
+            nact = jnp.clip(jnp.int32(nbig) - beta, 0, kf)
+            v0p = jnp.int32(nbig) - beta - nact + 1
+            jb = kf - nact
+            vv, vv2 = [], []
+            for i in range(kf):      # i = 0 is the bottom VALID group
+                s0_i = jnp.maximum((gi_top - jb - i) * g, 0)
+                vi, v2i = _group_vt_all(vs, taus, s0_i, g, b, raw_bp,
+                                        ncmax, sel)
+                vv.append(vi)
+                vv2.append(v2i)
+            v = jnp.stack(vv, axis=1)            # (ncmax, kf, 2b, b)
+            v2 = jnp.stack(vv2, axis=1)
+            return bt_apply_fused_pallas(ep2, v, v2, beta, nact, v0p,
+                                         kf, b, tile)
+
+        return lax.fori_loop(0, (ngroups - rpeel) // kf, fused_step, e_mat)
 
     win = b + g - 1
     if prepadded:

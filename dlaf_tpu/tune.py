@@ -45,6 +45,15 @@ class TuneParameters:
     # eigenvector matrix (reference tune.h:130; the reference's own scaling
     # runs set 128, gen_dlaf_strong-gpu.py:20-38 — measurably faster here too)
     bt_band_to_tridiag_hh_apply_group_size: int = 128
+    # cap on the wavefront fusion factor of the streaming stage-4 apply
+    # (ops/pallas/bt_apply.bt_apply_fused_pallas): k staggered reflector
+    # groups share one read+write pass of the eigenvector matrix, cutting
+    # the stage's HBM traffic ~k-fold; the effective k is
+    # min(this, largest power of two whose fused kernel fits VMEM).
+    # 1 disables fusion (single-group kernel). Reference analog: raising
+    # bt_band_to_tridiag_hh_apply_group_size (tune.h:130) trades the same
+    # traffic, but super-linearly in flops; the wavefront fusion is linear.
+    bt_apply_fuse_groups: int = 1
     # number of secular-equation (laed4) Newton iterations in the tridiagonal
     # divide & conquer merge (analog of tridiag_rank1_* tuning, tune.h:117-124)
     laed4_max_iter: int = 120

@@ -19,8 +19,22 @@ the gates use O(n^2) on-device products with O(1) scalar readbacks
 ``test_eigensolver_correctness.h:71-96``, eps-scaled).
 """
 import json
+import resource
 import sys
 import time
+
+# XLA's executable (de)serializer recurses deeply on the big eigensolver
+# programs; under a default 8 MiB stack the persistent-compile-cache path
+# segfaults (same guard as tests/conftest.py — a FINITE soft limit also
+# propagates to XLA worker threads via glibc's pthread default).
+try:
+    _hard = resource.getrlimit(resource.RLIMIT_STACK)[1]
+    _want = 512 << 20
+    if _hard != resource.RLIM_INFINITY:
+        _want = min(_want, _hard)
+    resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
+except (ValueError, OSError):
+    pass
 
 import jax
 import jax.numpy as jnp

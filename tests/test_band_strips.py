@@ -134,6 +134,87 @@ def test_bt_shifted_streaming_apply_matches_cooked_interpret(nev):
     assert err <= 1e-5, err
 
 
+@pytest.mark.parametrize("kf,n", [
+    (2, 512),
+    pytest.param(4, 768, marks=pytest.mark.slow),  # rpeel=2 singles + 1 fused
+    pytest.param(2, 640, marks=pytest.mark.slow),  # rpeel=1 odd split
+])
+def test_bt_fused_streaming_apply_matches_cooked_interpret(kf, n):
+    """The k-fused wavefront apply (k staggered groups per E pass) must
+    match the cooked-record XLA apply; covers rpeel singles + fused steps."""
+    from jax.experimental.pallas import tpu as pltpu
+    import dlaf_tpu
+    from dlaf_tpu.algos.eigensolver.bt import bt_band_to_tridiag
+    from dlaf_tpu.ops.pallas.band2tridiag import band_to_tridiag_strips_pallas
+    b, nev = 128, 256
+    nsweeps = n - 2
+    chunk = -(-nsweeps // b) * b
+    band = _band(n, b, np.float32)
+    strips = bs.band_to_strips(band, b)
+    dlaf_tpu.set_tune_parameters(bt_apply_fuse_groups=kf)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            _, _, vs, taus = band_to_tridiag_strips_pallas(
+                strips, n, b, sweep_lo=0, sweep_chunk=chunk)
+            _, _, raw, traw = band_to_tridiag_strips_pallas(
+                strips, n, b, sweep_lo=0, sweep_chunk=chunk, raw_record=True)
+            e_mat = jax.random.normal(jax.random.PRNGKey(3), (n, nev),
+                                      jnp.float32)
+            out_cooked = bt_band_to_tridiag(e_mat, vs, taus, b, group_size=b)
+            ep2 = jnp.concatenate(
+                [e_mat[1:], jnp.zeros((2 * b + 1, nev), jnp.float32)], axis=0)
+            out2 = bt_band_to_tridiag(ep2, raw, traw, b, group_size=b,
+                                      sweep_lo=0, raw_bp=128, shifted=True)
+    finally:
+        dlaf_tpu.set_tune_parameters(bt_apply_fuse_groups=8)
+        jax.clear_caches()   # the knob is captured at trace time
+    out_shifted = jnp.concatenate([e_mat[:1], out2[:n - 1]], axis=0)
+    err = float(jnp.max(jnp.abs(out_cooked - out_shifted)))
+    assert err <= 1e-5, err
+
+
+def test_bt_fused_overshooting_chunk_plan_interpret():
+    """Fused steps containing geometric phantom groups (chunked records
+    whose rounded sweep range overshoots the band end) must skip exactly
+    the phantom prefix via the nact gate: n=896, b=128, rec_chunks=3 puts
+    2 overshoot groups in the first chunk's first fused step."""
+    from jax.experimental.pallas import tpu as pltpu
+    import dlaf_tpu
+    from dlaf_tpu.algos.eigensolver.bt import bt_band_to_tridiag
+    n, b, nev = 896, 128, 256
+    chunk, nchunks = 384, 3
+    nsweeps = n - 2
+    band = _band(n, b, np.float32)
+    d0, e0, vs, taus = dense_ref(band, b)
+    ncmax = vs.shape[1]
+    e_mat = jax.random.normal(jax.random.PRNGKey(3), (n, nev), jnp.float32)
+    out_cooked = bt_band_to_tridiag(e_mat, vs, taus, b, group_size=b)
+    vs_np = np.asarray(vs)
+    taus_np = np.asarray(taus)
+    ep2 = jnp.concatenate(
+        [e_mat[1:], jnp.zeros((2 * b + 1, nev), jnp.float32)], axis=0)
+    dlaf_tpu.set_tune_parameters(bt_apply_fuse_groups=2)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            for ci in range(nchunks - 1, -1, -1):
+                lo = ci * chunk
+                raw = np.zeros((chunk + 1, ncmax, 128), np.float32)
+                tch = np.zeros((chunk, ncmax), np.float32)
+                nvalid = max(0, min(chunk, nsweeps - lo))
+                raw[:nvalid, :, :b] = vs_np[lo:lo + nvalid]
+                tch[:nvalid] = taus_np[lo:lo + nvalid]
+                ep2 = bt_band_to_tridiag(ep2, jnp.asarray(raw),
+                                         jnp.asarray(tch),
+                                         b, group_size=b, sweep_lo=lo,
+                                         raw_bp=128, shifted=True)
+    finally:
+        dlaf_tpu.set_tune_parameters(bt_apply_fuse_groups=8)
+        jax.clear_caches()
+    out_shifted = jnp.concatenate([e_mat[:1], ep2[:n - 1]], axis=0)
+    err = float(jnp.max(jnp.abs(out_cooked - out_shifted)))
+    assert err <= 1e-5, err
+
+
 def test_bt_shifted_overshooting_chunk_plan_interpret():
     """Chunked records whose rounded sweep range overshoots nsweeps by
     >= 2b+2 put trailing groups at abs0 >= nmat + b; unclamped, the
