@@ -77,6 +77,25 @@ def run_section(name, budget_s):
     return data
 
 
+PROBE_CODE = ("import jax, jax.numpy as jnp;"
+              "x = jnp.ones((128, 128));"
+              "print(float((x @ x).ravel()[-1]))")
+
+
+def tpu_responsive(timeout_s=90):
+    """Whether a fresh process can run a trivial device matmul. A section
+    killed at its cap can leave the shared tunnel server wedged for tens
+    of minutes (observed round 5: every post-kill section then burned its
+    full cap hanging in device acquisition); skipping with a recorded
+    reason preserves the budget and the already-captured headline."""
+    try:
+        proc = subprocess.run([sys.executable, "-c", PROBE_CODE],
+                              capture_output=True, timeout=timeout_s)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def headline(potrf, results):
     line = {
         "metric": f"potrf_f32_n{potrf.get('n', 32768)}_tflops",
@@ -95,12 +114,20 @@ def main():
     budget = float(os.environ.get("DLAF_BENCH_BUDGET_S", "1500"))
     t_start = time.time()
     results = {}
+    dead = False
     for name, cap in PLAN:
         remaining = budget - (time.time() - t_start)
         if remaining < MIN_SECTION_S:
             results[name] = {"skipped": "bench wall budget exhausted"}
             continue
+        if dead:
+            results[name] = {"skipped": "tpu unresponsive after a "
+                                        "section timeout"}
+            continue
         results[name] = run_section(name, min(cap, remaining))
+        if "section_timeout_s" in results[name] and \
+                not tpu_responsive(min(90, budget - (time.time() - t_start))):
+            dead = True
         if name == "potrf":
             # flushed immediately: a timeout in ANY later section still
             # leaves this parseable line in the captured tail

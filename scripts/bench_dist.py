@@ -23,6 +23,7 @@ sys.path.insert(0, "/root/repo")
 
 import os
 
+from dlaf_tpu.cache import cpu_cache_dir
 import jax
 import jax.numpy as jnp
 
@@ -35,7 +36,7 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
         pass  # backend already live
 
 jax.config.update("jax_compilation_cache_dir",
-                  "/root/repo/.jax_cache_cpu"
+                  cpu_cache_dir()
                   if os.environ.get("JAX_PLATFORMS") == "cpu"
                   else "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

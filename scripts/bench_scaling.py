@@ -37,6 +37,7 @@ sys.path.insert(0, "/root/repo")
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
+from dlaf_tpu.cache import cpu_cache_dir
 import jax
 
 jax.config.update("jax_platforms", "cpu")
@@ -44,7 +45,7 @@ jax.config.update("jax_platforms", "cpu")
 # ineffective afterwards
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_compilation_cache_dir",
-                  "/root/repo/.jax_cache_cpu"
+                  cpu_cache_dir()
                   if os.environ.get("JAX_PLATFORMS") == "cpu"
                   else "/root/repo/.jax_cache")
 

@@ -478,6 +478,9 @@ def main():
     name, out = sys.argv[1], sys.argv[2]
     sys.path.insert(0, "/root/repo")
     res = Result(out)
+    # written before any device op: a later empty-but-present file means
+    # the section hung acquiring the chip, not that it failed to start
+    res.update(section=name)
     try:
         SECTIONS[name](res)
     except Exception as exc:  # noqa: BLE001 - partial result + error marker

@@ -19,11 +19,12 @@ sys.path.insert(0, "/root/repo")
 
 import os
 
+from dlaf_tpu.cache import cpu_cache_dir
 import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir",
-                  "/root/repo/.jax_cache_cpu"
+                  cpu_cache_dir()
                   if os.environ.get("JAX_PLATFORMS") == "cpu"
                   else "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -48,14 +48,16 @@ jax.config.update("jax_enable_x64", True)  # both lanes: the reference tests
 # tests/test_tpu_lane.py dtype tests)
 
 # persistent compile cache: repeat suite runs skip recompilation.
-# The CPU lane uses its OWN directory: XLA:CPU AOT executables are
-# machine-specific (the loader warns "Target machine feature ... not
-# supported on the host machine ... could lead to execution errors such
-# as SIGILL" when .jax_cache entries from a previous host are loaded,
-# and the round-5 full-suite segfault disappeared with a fresh dir),
-# while the TPU-lane .jax_cache entries are compiled server-side and
-# stay valid across driver hosts.
-_cache = "/root/repo/.jax_cache" if TPU_LANE else "/root/repo/.jax_cache_cpu"
+# The CPU lane uses its own MACHINE-KEYED directory (dlaf_tpu/cache.py):
+# XLA:CPU AOT executables are machine-specific (the loader warns "Target
+# machine feature ... could lead to execution errors such as SIGILL" when
+# entries from a previous driver host are loaded, and the round-5
+# full-suite segfault disappeared with a fresh dir; the workspace outlives
+# the host, so a fixed dir is not enough). TPU-lane .jax_cache entries
+# are compiled server-side and stay valid across driver hosts.
+from dlaf_tpu.cache import cpu_cache_dir  # noqa: E402
+
+_cache = "/root/repo/.jax_cache" if TPU_LANE else cpu_cache_dir()
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 

@@ -22,11 +22,12 @@ import sys
 
 proc_id, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
 
+from dlaf_tpu.cache import cpu_cache_dir
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 2)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
 
 jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                            num_processes=nprocs, process_id=proc_id)
