@@ -44,7 +44,8 @@ from .dist_red2band import reduction_to_band_dist
 from .driver import _phase_normalize
 from .red2band import extract_band
 from .tridiag_dc import tridiag_eigh
-from .tridiag_dc_dist import dc_dist_supported, tridiag_eigh_dist
+from .tridiag_dc_dist import (dc_dist_supported, merge_tree_idle_fraction,
+                              pow2_floor, tridiag_eigh_dist)
 
 
 def _square_lattice(a: DistMatrix) -> DistMatrix:
@@ -95,6 +96,12 @@ def eigh_dist(a: DistMatrix, laed4_iter: int | None = None):
     pm = a_sq.dist.padded_size[0]
     if not dc_dist_supported(pm, D):
         return _eigh_dist_gathered(a, laed4)
+    if D != pow2_floor(D) and not _IDLE_WARNED[0]:
+        _IDLE_WARNED[0] = True
+        print(f"dlaf_tpu: {D}-device grid is not a power of two; the "
+              f"stage-3 merge tree runs on {pow2_floor(D)} devices "
+              f"({merge_tree_idle_fraction(D):.0%} idle during that stage "
+              f"only; all other stages use all {D})")
     a = a_sq
 
     from . import dist_stage23 as s23
@@ -134,6 +141,7 @@ def eigh_dist(a: DistMatrix, laed4_iter: int | None = None):
 
 
 _GATHERED_WARNED = [False]
+_IDLE_WARNED = [False]
 
 
 def _eigh_dist_gathered(a: DistMatrix, laed4: int):

@@ -57,6 +57,21 @@ def pow2_floor(ndev: int) -> int:
     return 1 << (max(ndev, 1).bit_length() - 1)
 
 
+def merge_tree_idle_fraction(ndev: int) -> float:
+    """Fraction of devices idle during the stage-3 merge tree.
+
+    The merge tree runs on the largest power-of-2 subset D2 <= D (the
+    reference instead supports ragged grids directly,
+    ``eigensolver/tridiag_solver/merge.h:1810-1941``, exercised by its
+    6-rank fixture ``test/include/dlaf_test/comm_grids/grids_6_ranks.h``);
+    on 6 devices 2 sit idle through stage 3 (1/3), on power-of-2 counts
+    none do. Stages 1/2/4/5 and the final all-to-all always use all D, so
+    the END-TO-END idle share is this times stage 3's wall share
+    (~25-30% of a distributed EVP — a <=11% device-seconds cap at D=6,
+    surfaced by the one-time note in ``dist_driver.eigh_dist``)."""
+    return (ndev - pow2_floor(ndev)) / ndev
+
+
 def dc_dist_supported(n: int, ndev: int) -> bool:
     m = LEAF
     while m < n:

@@ -298,23 +298,42 @@ def section_heev(res: Result):
 # HEEV n=32768 (the BASELINE.json contract scale)
 
 
-def _hbm_contiguity_probe(res: Result, nblocks: int = 3) -> bool:
-    """Probe whether ``nblocks`` sequential 4.3 GB contiguous buffers fit
-    (the eigh_large n=32768 peak is 3 x n^2 f32 = 12.9 GB). The shared
-    tunnel server leaks HBM across crashed clients (round-4 diagnosis,
-    HEEV_32768.json caveat): on a degraded server the third block fails
-    and the contract-scale attempt would burn OOM -> cooldown -> OOM.
-    Returns True when the plan fits; records the skip reason otherwise."""
+def _hbm_contiguity_probe(res: Result, n: int = 32768,
+                          nblocks: int = 3) -> bool:
+    """Probe whether ``nblocks`` sequential n^2 f32 contiguous buffers fit
+    (the eigh_large peak is 3 x n^2). The shared tunnel server leaks HBM
+    across crashed clients (round-4 diagnosis, HEEV_32768.json caveat): on
+    a degraded server the third block fails and the contract-scale attempt
+    would burn OOM -> cooldown -> OOM. Prefers the backend's memory_stats
+    (no allocation, no server-side OOM debris — a probe OOM itself wedges
+    the server for many minutes, observed round 5); falls back to real
+    allocations when stats are unavailable. Records the failure mode."""
+    need = nblocks * n * n * 4
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit") or stats.get(
+            "bytes_reservable_limit")
+        used = stats.get("bytes_in_use", 0)
+        if limit:
+            ok = limit - used >= need * 1.02
+            if not ok:
+                res.update(skipped_reason="hbm_degraded",
+                           hbm_probe=f"memory_stats: {(limit - used) / 2**30:.2f}"
+                                     f" GiB free < {need / 2**30:.2f} needed")
+            return ok
+    except Exception:  # noqa: BLE001 - stats unsupported on this backend
+        pass
     held = []
     try:
         for i in range(nblocks):
-            buf = jax.jit(lambda: jnp.zeros((32768, 32768), jnp.float32))()
+            buf = jax.jit(lambda n_=n: jnp.zeros((n_, n_), jnp.float32))()
             _sync(buf)
             held.append(buf)
         return True
     except Exception as exc:  # noqa: BLE001 - RESOURCE_EXHAUSTED expected
         res.update(skipped_reason="hbm_degraded",
-                   hbm_probe=f"{len(held)}/{nblocks} 4.3GB blocks fit",
+                   hbm_probe=f"{len(held)}/{nblocks} {n * n * 4 / 2**30:.1f}"
+                             "GiB blocks fit",
                    hbm_probe_error=repr(exc)[:160])
         return False
     finally:
@@ -331,11 +350,22 @@ def section_heev_big(res: Result):
     t_section0 = time.perf_counter()
     dt.set_tune_parameters(matmul_precision="high")
     ovh = _overhead()
-    nb2 = 32768
     eps32 = float(jnp.finfo(jnp.float32).eps)
 
-    if not _hbm_contiguity_probe(res):
+    # contract scale, else the largest reduced scale the (possibly
+    # HBM-degraded, see memory_stats probe) server can hold — a stage-timed
+    # artifact at 24576 beats a skip
+    nb2 = 0
+    for cand in (32768, 24576, 16384):
+        if _hbm_contiguity_probe(res, n=cand):
+            nb2 = cand
+            res.data.pop("skipped_reason", None)   # a smaller n fits
+            break
+        res.update(**{f"probe_n{cand}": "does_not_fit"})
+    if not nb2:
         return
+    if nb2 != 32768:
+        res.update(n_reduced_from=32768)
 
     def mk_a():
         return gen.random_hermitian(jax.random.PRNGKey(3), nb2, jnp.float32)

@@ -1,0 +1,139 @@
+"""Per-stage attribution of the distributed eigensolver's weak-scaling
+decay on the virtual CPU mesh (VERDICT r04 weak #6).
+
+Runs eigh_dist's five stages separately at the WEAK_SCALING shapes on a
+1-device and a D-device mesh, timing each stage, and writes
+EIGH_SCALING_PROFILE.json with the per-stage share of the retention loss.
+
+The key hypothesis this script tests: stage 2 runs in ``replicated`` mode
+(every device chases the whole O(n*b) band — free on real chips, where
+each device is its own core), so on a SHARED-CORE virtual mesh its wall
+cost is ~D-fold inflated — a virtual-mesh artifact, not an ICI/structure
+problem (reference analog: its band->tridiag also runs redundantly
+outside the GPU pipeline, band_to_tridiag/mc.h:438-662).
+
+Usage:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python scripts/profile_eigh_dist.py [--devices 8] [--out PATH]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from dlaf_tpu.cache import cpu_cache_dir  # noqa: E402
+
+import jax  # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
+jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def stage_times(n: int, grid, nb: int = 256, reps: int = 2):
+    """Fenced per-stage seconds of eigh_dist's pipeline on `grid`."""
+    import dlaf_tpu.algos.eigensolver.dist_stage23 as s23
+    from dlaf_tpu.algos.eigensolver.dist_driver import _square_lattice
+    from dlaf_tpu.algos.eigensolver.dist_red2band import (
+        reduction_to_band_dist)
+    from dlaf_tpu.algos.eigensolver.driver import get_band_size
+    from dlaf_tpu.algos.eigensolver.tridiag_dc_dist import tridiag_eigh_dist
+    from dlaf_tpu.comm.mesh import Grid
+    from dlaf_tpu.matrix.dist_matrix import DistMatrix
+    from dlaf_tpu.matrix.generators import random_hermitian
+    from dlaf_tpu.tune import get_tune_parameters
+
+    g = Grid(tuple(grid))
+    a0 = random_hermitian(jax.random.PRNGKey(0), n, jnp.float32)
+    am = DistMatrix.from_global(a0, nb, g)
+    am = _square_lattice(am)
+    pm = am.dist.padded_size[0]
+    mesh = am.grid.mesh
+    band = get_band_size(nb)
+    tune = get_tune_parameters()
+
+    data = s23._pad_fix(am.data, nb=nb, n=n, pm=pm, mesh=mesh)
+
+    def fence(x):
+        jax.block_until_ready(x)
+
+    def timed(fn, *args):
+        out = fn(*args)
+        fence(out)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            fence(out)
+            ts.append(time.perf_counter() - t0)
+        return min(ts), out
+
+    res = {}
+    am2 = DistMatrix(data, am.dist, am.grid)
+    t, (packed, taus1) = timed(lambda a_: reduction_to_band_dist(a_, band),
+                               am2)
+    res["s1_red2band"] = round(t, 3)
+    t, strips = timed(lambda p: s23.strips_from_packed_dist(p, band), packed)
+    res["s1b_strips"] = round(t, 3)
+    t, (d, e, vs, taus2) = timed(
+        lambda s: s23.band_to_tridiag_dist(s, pm, band, mesh), strips)
+    res["s2_band2tridiag"] = round(t, 3)
+    t, (w, qc, m) = timed(
+        lambda dd, ee: tridiag_eigh_dist(jnp.real(dd), ee, mesh, 40,
+                                         col_align=nb), d, jnp.real(e))
+    res["s3_tridiag_dc"] = round(t, 3)
+    gsz = tune.bt_band_to_tridiag_hh_apply_group_size
+    t, qc2 = timed(lambda q: s23.bt_band_to_tridiag_dist(
+        q, vs, taus2, band, pm, mesh, group_size=gsz), qc)
+    res["s4_bt_band2tridiag"] = round(t, 3)
+    t, _ = timed(lambda q: s23.bt_reduction_to_band_dist(q, packed, taus1,
+                                                         band), qc2)
+    res["s5_bt_red2band"] = round(t, 3)
+    res["total"] = round(sum(v for v in res.values()), 3)
+    return res
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--out", default="/root/repo/EIGH_SCALING_PROFILE.json")
+    args = ap.parse_args(argv)
+
+    out = {"environment": "virtual CPU device mesh, ONE shared host core: "
+                          "stages replicated across devices cost ~D-fold "
+                          "wall here but 1x on real chips",
+           "nb": 256}
+    # weak-scaling endpoints (same shapes as WEAK_SCALING.json)
+    out["d1"] = {"n": 1024, "grid": [1, 1],
+                 "stages": stage_times(1024, (1, 1))}
+    gr = (2, args.devices // 2) if args.devices % 2 == 0 else (1, args.devices)
+    out["dD"] = {"n": 3072, "grid": list(gr), "devices": args.devices,
+                 "stages": stage_times(3072, gr)}
+
+    s1, sD = out["d1"]["stages"], out["dD"]["stages"]
+    flop_ratio = (3072 / 1024) ** 3 / args.devices  # ideal per-device work
+    decay = {}
+    for k in s1:
+        if k == "total":
+            continue
+        # stage's share of the non-ideal slowdown
+        decay[k] = round(sD[k] / (s1[k] * flop_ratio + 1e-9), 2)
+    out["slowdown_vs_ideal_per_stage"] = decay
+    out["dominant"] = max(decay, key=decay.get)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

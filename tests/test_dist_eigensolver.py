@@ -33,7 +33,22 @@ def test_dist_red2band_matches_local(grid_size):
                                atol=1e-12)
 
 
+def test_merge_tree_idle_fraction():
+    """Idle cap on non-power-of-2 grids (reference supports ragged grids in
+    mergeDistSubproblems, merge.h:1810-1941; here the stage-3 tree runs on
+    the pow2 subset and the idle share is quantified + surfaced)."""
+    from dlaf_tpu.algos.eigensolver.tridiag_dc_dist import (
+        merge_tree_idle_fraction)
+    assert merge_tree_idle_fraction(1) == 0.0
+    assert merge_tree_idle_fraction(4) == 0.0
+    assert merge_tree_idle_fraction(6) == pytest.approx(1 / 3)
+    assert merge_tree_idle_fraction(8) == 0.0
+
+
 @pytest.mark.parametrize("grid_size", [(2, 2),
+                                       # 6 ranks: the reference's ragged
+                                       # fixture shape (grids_6_ranks.h)
+                                       pytest.param((2, 3), marks=pytest.mark.slow),
                                        pytest.param((2, 4), marks=pytest.mark.slow)])
 @pytest.mark.parametrize("n", [64,
                                pytest.param(90, marks=pytest.mark.slow)])
