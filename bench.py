@@ -23,9 +23,14 @@ Sections checkpoint their JSON incrementally. The persistent compile
 cache (.jax_cache) is shared across sections.
 
 Wall calibration (round 5, warm compile cache): potrf ~200s, smoke ~60s,
-heev ~150s, dist ~300s, heev_big ~270s => ~1000s end-to-end; the default
-budget of 1500s leaves ~50% margin and caps the worst case well inside
-the driver window.
+heev ~150s, dist ~300s, heev_big ~270s, plus ~10s of pre-section health
+probe each => ~1050s end-to-end; the default budget of 1500s leaves ~40%
+margin and caps the worst case well inside the driver window. Each
+section is preceded by a health probe of the shared tunnel server (it
+wedges for minutes-to-tens-of-minutes after kills/OOMs); the headline
+section waits out a wedge for up to half the budget, later sections skip
+with a recorded reason after ~2.5 min so a dead chip cannot starve the
+already-printed headline.
 """
 import json
 import os
@@ -96,6 +101,21 @@ def tpu_responsive(timeout_s=90):
         return False
 
 
+def wait_for_tpu(deadline, probe_s=75, retry_sleep_s=45):
+    """Probe until the chip answers or ``deadline`` (time.time()) passes.
+    Returns (responsive, seconds_spent). Used with a generous deadline
+    before the headline section — a wedged tunnel server often recovers
+    within minutes, and a late headline beats no headline — and with a
+    tight one before the rest."""
+    t0 = time.time()
+    while True:
+        if tpu_responsive(probe_s):
+            return True, round(time.time() - t0, 1)
+        if time.time() + retry_sleep_s + probe_s > deadline:
+            return False, round(time.time() - t0, 1)
+        time.sleep(retry_sleep_s)
+
+
 def headline(potrf, results):
     line = {
         "metric": f"potrf_f32_n{potrf.get('n', 32768)}_tflops",
@@ -114,20 +134,26 @@ def main():
     budget = float(os.environ.get("DLAF_BENCH_BUDGET_S", "1500"))
     t_start = time.time()
     results = {}
-    dead = False
     for name, cap in PLAN:
         remaining = budget - (time.time() - t_start)
         if remaining < MIN_SECTION_S:
             results[name] = {"skipped": "bench wall budget exhausted"}
             continue
-        if dead:
-            results[name] = {"skipped": "tpu unresponsive after a "
-                                        "section timeout"}
+        # pre-section health probe (~10s when healthy): a wedged tunnel
+        # server otherwise eats the full section cap in device
+        # acquisition. For the headline section, wait out a wedge for up
+        # to half the budget — a late headline beats no headline.
+        wait = remaining / 2 if name == "potrf" else min(150, remaining / 4)
+        ok, spent = wait_for_tpu(time.time() + wait)
+        if not ok:
+            results[name] = {"skipped": "tpu unresponsive",
+                             "probe_wall_s": spent}
+            continue
+        remaining = budget - (time.time() - t_start)
+        if remaining < MIN_SECTION_S:
+            results[name] = {"skipped": "bench wall budget exhausted"}
             continue
         results[name] = run_section(name, min(cap, remaining))
-        if "section_timeout_s" in results[name] and \
-                not tpu_responsive(min(90, budget - (time.time() - t_start))):
-            dead = True
         if name == "potrf":
             # flushed immediately: a timeout in ANY later section still
             # leaves this parseable line in the captured tail

@@ -393,16 +393,18 @@ def _bt_b2t_shardfn(qc, vs_loc, taus_loc, *, b, chunk, gsz, n_eff):
     def group_step(k, ep):
         g = ngroups - 1 - jnp.asarray(k, jnp.int32)
         s0 = g * gsz
-        owner = s0 // chunk
-        # broadcast the group's reflectors (one psum of O(gsz * n) data)
-        vs_g = lax.dynamic_slice(
-            vs_loc, (jnp.where(did == owner, s0 - owner * chunk, 0),
-                     jnp.int32(0), jnp.int32(0)), (gsz, ncmax, b))
-        taus_g = lax.dynamic_slice(
-            taus_loc, (jnp.where(did == owner, s0 - owner * chunk, 0),
-                       jnp.int32(0)), (gsz, ncmax))
-        vs_g = jnp.where(did == owner, vs_g, 0)
-        taus_g = jnp.where(did == owner, taus_g, 0)
+        # Broadcast the group's reflectors (one psum of O(gsz * n) data).
+        # A group may SPAN sweep-chunk owners (gsz > chunk): every device
+        # gathers the sweeps it owns into the group buffer, masks the
+        # rest, and the psum assembles the full group — so the group size
+        # (the reference's hh_apply_group_size knob, tune.h:130) is not
+        # capped by nsweeps/D, keeping the sequential round count and the
+        # collective count independent of the device count.
+        idx = s0 + jnp.arange(gsz, dtype=jnp.int32)      # global sweep ids
+        loc = jnp.clip(idx - did * chunk, 0, chunk - 1)
+        own = (idx >= did * chunk) & (idx < (did + 1) * chunk)
+        vs_g = jnp.where(own[:, None, None], vs_loc[loc], 0)
+        taus_g = jnp.where(own[:, None], taus_loc[loc], 0)
         vs_g = lax.psum(lax.psum(vs_g, ROW_AXIS), COL_AXIS)
         taus_g = lax.psum(lax.psum(taus_g, ROW_AXIS), COL_AXIS)
 
@@ -451,8 +453,10 @@ def bt_band_to_tridiag_dist(qc, vs, taus, b: int, n_eff: int, mesh,
     D = mesh.devices.size
     nsweeps_pad = vs.shape[0]
     chunk = nsweeps_pad // D
-    gsz = min(group_size, chunk)
-    while chunk % gsz:
+    # gsz must divide the padded sweep count but — unlike before — NOT the
+    # per-device chunk: groups spanning owners are assembled by the psum.
+    gsz = min(group_size, nsweeps_pad)
+    while nsweeps_pad % gsz:
         gsz -= 1
     return _bt_b2t_dist(qc, vs, taus, b=b, chunk=chunk, gsz=gsz, n_eff=n_eff,
                         mesh=mesh)

@@ -65,6 +65,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_xdist_auto_num_workers(config):
+    """``-n auto`` resolution (see pytest.ini): 2 CPU-lane workers, 0 (no
+    xdist) on the TPU lane where a single process must own the chip."""
+    return 0 if TPU_LANE else 2
+
+
 def pytest_collection_modifyitems(config, items):
     on_tpu = jax.default_backend() in ("tpu", "axon")
     skip_tpu = pytest.mark.skip(reason="tpu-marked test; backend is not TPU")

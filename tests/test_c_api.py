@@ -27,12 +27,15 @@ def test_c_api_roundtrip(tmp_path):
          f"-Wl,-rpath,{NATIVE}", "-lm", "-o", exe],
         capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, r.stderr[-2000:]
+    # machine-keyed CPU cache dir (dlaf_tpu/cache.py): CPU AOT entries in
+    # the shared .jax_cache would SIGILL/segfault on a different later host
+    from dlaf_tpu.cache import cpu_cache_dir as _cpu_cache_dir
     env = dict(os.environ,
                JAX_PLATFORMS="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=8",
                JAX_NUM_CPU_DEVICES="8",
                JAX_ENABLE_X64="1",
-               JAX_COMPILATION_CACHE_DIR=os.path.join(ROOT, ".jax_cache"))
+               JAX_COMPILATION_CACHE_DIR=_cpu_cache_dir())
     # cold-cache budget: the generalized-eigensolver entries add two big
     # eigh_gen_dist compiles on the 1-core host
     r = subprocess.run([exe], capture_output=True, text=True, timeout=1200,
