@@ -22,15 +22,18 @@ turn and one section's OOM/crash/timeout cannot poison the others.
 Sections checkpoint their JSON incrementally. The persistent compile
 cache (.jax_cache) is shared across sections.
 
-Wall calibration (round 5, warm compile cache): potrf ~200s, smoke ~60s,
-heev ~150s, dist ~300s, heev_big ~270s, plus ~10s of pre-section health
-probe each => ~1050s end-to-end; the default budget of 1500s leaves ~40%
-margin and caps the worst case well inside the driver window. Each
-section is preceded by a health probe of the shared tunnel server (it
-wedges for minutes-to-tens-of-minutes after kills/OOMs); the headline
+Wall calibration (round 5, warm compile cache): potrf ~280s, smoke ~10s,
+heev ~230s, dist ~300s, heev_big ~270s, plus pre-section health probes
+(~15s each when healthy, up to 240s waiting out an HBM-reclaim lag)
+=> ~1100-1300s end-to-end; the default budget of 1500s caps the worst
+case inside the driver window (measured full run round 5: 999.7s with
+dist at its cap). Each section is preceded by a health probe of the
+shared tunnel server sized to the section's peak HBM (the server
+reclaims an exited client's buffers only after a ~15-20 min lag, during
+which small allocations pass but section-scale ones hang); the headline
 section waits out a wedge for up to half the budget, later sections skip
-with a recorded reason after ~2.5 min so a dead chip cannot starve the
-already-printed headline.
+with a recorded reason so a dead chip cannot starve the already-printed
+headline.
 """
 import json
 import os
@@ -41,14 +44,19 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 SECTIONS_PY = os.path.join(REPO, "scripts", "bench_sections.py")
 
-# (name, hard cap seconds); sections run in order, each gets
-# min(cap, remaining budget), and are skipped when remaining < MIN_SECTION_S
+# (name, hard cap seconds, probe GiB); sections run in order, each gets
+# min(cap, remaining budget), and are skipped when remaining < MIN_SECTION_S.
+# probe GiB ~ the section's peak HBM: the shared tunnel server reclaims an
+# exited client's HBM only after a lag (observed round 5: ~15-20 min after
+# multi-GiB clients), during which a small-matmul probe PASSES while the
+# next section's first big allocation hangs/OOMs — so each probe must
+# allocate what the section will actually need.
 PLAN = [
-    ("potrf", 540),
-    ("smoke", 120),
-    ("heev", 480),
-    ("dist", 420),
-    ("heev_big", 700),
+    ("potrf", 540, 9),
+    ("smoke", 120, 0),
+    ("heev", 480, 2),
+    ("dist", 420, 9),
+    ("heev_big", 700, 12),
 ]
 MIN_SECTION_S = 90
 
@@ -82,34 +90,45 @@ def run_section(name, budget_s):
     return data
 
 
-PROBE_CODE = ("import jax, jax.numpy as jnp;"
-              "x = jnp.ones((128, 128));"
-              "print(float((x @ x).ravel()[-1]))")
+def probe_code(gib: int) -> str:
+    """A probe that allocates ``gib`` 1-GiB device buffers (held together)
+    plus a matmul — representative of the next section's peak HBM, so a
+    pass means the server has actually reclaimed the previous section's
+    buffers (a bare matmul passes ~15 min before big allocations do)."""
+    return (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((128, 128));"
+        "print(float((x @ x).ravel()[-1]));"
+        "z = jax.jit(lambda: jnp.zeros((16384, 16384), jnp.float32));"
+        f"held = [z() for _ in range({gib})];"
+        "[h.block_until_ready() for h in held];"
+        "print(float(held[-1].ravel()[-1]) if held else 0.0)")
 
 
-def tpu_responsive(timeout_s=90):
-    """Whether a fresh process can run a trivial device matmul. A section
-    killed at its cap can leave the shared tunnel server wedged for tens
-    of minutes (observed round 5: every post-kill section then burned its
-    full cap hanging in device acquisition); skipping with a recorded
-    reason preserves the budget and the already-captured headline."""
+def tpu_responsive(gib=0, timeout_s=90):
+    """Whether a fresh process can run a trivial device matmul AND hold the
+    section's peak HBM. A section killed at its cap can leave the shared
+    tunnel server wedged for tens of minutes (observed round 5: every
+    post-kill section then burned its full cap hanging in device
+    acquisition); skipping with a recorded reason preserves the budget and
+    the already-printed headline."""
     try:
-        proc = subprocess.run([sys.executable, "-c", PROBE_CODE],
+        proc = subprocess.run([sys.executable, "-c", probe_code(gib)],
                               capture_output=True, timeout=timeout_s)
         return proc.returncode == 0
     except subprocess.TimeoutExpired:
         return False
 
 
-def wait_for_tpu(deadline, probe_s=75, retry_sleep_s=45):
-    """Probe until the chip answers or ``deadline`` (time.time()) passes.
-    Returns (responsive, seconds_spent). Used with a generous deadline
-    before the headline section — a wedged tunnel server often recovers
-    within minutes, and a late headline beats no headline — and with a
-    tight one before the rest."""
+def wait_for_tpu(deadline, gib=0, probe_s=90, retry_sleep_s=45):
+    """Probe until the chip answers (including the section's HBM need) or
+    ``deadline`` (time.time()) passes. Returns (responsive, seconds_spent).
+    Used with a generous deadline before the headline section — a wedged
+    tunnel server often recovers within minutes, and a late headline beats
+    no headline — and with a tight one before the rest."""
     t0 = time.time()
     while True:
-        if tpu_responsive(probe_s):
+        if tpu_responsive(gib, probe_s):
             return True, round(time.time() - t0, 1)
         if time.time() + retry_sleep_s + probe_s > deadline:
             return False, round(time.time() - t0, 1)
@@ -134,17 +153,21 @@ def main():
     budget = float(os.environ.get("DLAF_BENCH_BUDGET_S", "1500"))
     t_start = time.time()
     results = {}
-    for name, cap in PLAN:
+    for name, cap, probe_gib in PLAN:
         remaining = budget - (time.time() - t_start)
         if remaining < MIN_SECTION_S:
             results[name] = {"skipped": "bench wall budget exhausted"}
             continue
-        # pre-section health probe (~10s when healthy): a wedged tunnel
+        # pre-section health probe (~10-20s when healthy): a wedged tunnel
         # server otherwise eats the full section cap in device
-        # acquisition. For the headline section, wait out a wedge for up
-        # to half the budget — a late headline beats no headline.
-        wait = remaining / 2 if name == "potrf" else min(150, remaining / 4)
-        ok, spent = wait_for_tpu(time.time() + wait)
+        # acquisition, and an HBM-reclaim lag after the previous section
+        # eats it in the first big allocation. For the headline section,
+        # wait out a wedge for up to half the budget — a late headline
+        # beats no headline. Later sections get up to 240s: the reclaim
+        # lag after a multi-GiB section is real and waiting it out is
+        # cheaper than burning the section cap hanging.
+        wait = remaining / 2 if name == "potrf" else min(240, remaining / 4)
+        ok, spent = wait_for_tpu(time.time() + wait, probe_gib)
         if not ok:
             results[name] = {"skipped": "tpu unresponsive",
                              "probe_wall_s": spent}

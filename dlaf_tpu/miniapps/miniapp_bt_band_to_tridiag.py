@@ -50,9 +50,12 @@ def main(argv=None):
             # compare the timed result against the back-transform of T E.
             tmat = jnp.diag(d.astype(dtype)) + jnp.diag(e, -1) + \
                 jnp.diag(jnp.conj(e), 1)
-            lhs = np.asarray(jnp.matmul(bandm, out))
+            # explicit f32 precision: the check's own matmuls would
+            # otherwise run one bf16 MXU pass on TPU and swamp the bound
+            lhs = np.asarray(jnp.matmul(bandm, out, precision="float32"))
             rhs = np.asarray(bt_band_to_tridiag(
-                jnp.matmul(tmat, emat), vs, taus, band))
+                jnp.matmul(tmat, emat, precision="float32"),
+                vs, taus, band))
             scale = max(float(jnp.max(jnp.abs(bandm))), 1.0) * \
                 max(float(jnp.max(jnp.abs(emat))), 1.0)
             err = float(np.max(np.abs(lhs - rhs)))

@@ -53,10 +53,14 @@ def main(argv=None):
             # Q satisfies A = Q B Q^H (B = band form), hence A (Q E) = Q (B E):
             # compare the timed result against the back-transform of B E.
             bmat = extract_band(packed, band)
+            # explicit f32 precision: the check's own matmuls would
+            # otherwise run one bf16 MXU pass on TPU and swamp the bound
             lhs = np.asarray(jnp.matmul(
-                jnp.tril(a) + jnp.tril(a, -1).conj().T, out))
+                jnp.tril(a) + jnp.tril(a, -1).conj().T, out,
+                precision="float32"))
             rhs = np.asarray(bt_reduction_to_band(
-                jnp.matmul(bmat, emat), packed, taus, band))
+                jnp.matmul(bmat, emat, precision="float32"),
+                packed, taus, band))
             scale = max(float(jnp.max(jnp.abs(a))), 1.0) * \
                 max(float(jnp.max(jnp.abs(emat))), 1.0)
             err = float(np.max(np.abs(lhs - rhs)))

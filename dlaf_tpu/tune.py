@@ -53,7 +53,10 @@ class TuneParameters:
     # 1 disables fusion (single-group kernel). Reference analog: raising
     # bt_band_to_tridiag_hh_apply_group_size (tune.h:130) trades the same
     # traffic, but super-linearly in flops; the wavefront fusion is linear.
-    bt_apply_fuse_groups: int = 1
+    # Default 8 (clamps to 4 at band=128 via the VMEM feasibility table);
+    # on-chip A/B at n=8192 produced bit-identical eigenvectors for
+    # kf in {1, 4, 8} with all residual gates passing.
+    bt_apply_fuse_groups: int = 8
     # number of secular-equation (laed4) Newton iterations in the tridiagonal
     # divide & conquer merge (analog of tridiag_rank1_* tuning, tune.h:117-124)
     laed4_max_iter: int = 120

@@ -116,6 +116,14 @@ def main(argv=None):
     grid = Grid((1, 1))
     out = {}
 
+    def checkpoint():
+        # incremental artifact: a timeout/OOM later still leaves the
+        # candidates measured so far (round-5 lesson: the dist section
+        # burned its whole cap and left nothing)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+
     # POTRF
     n, nb = args.n, args.nb
     mk = jax.jit(lambda: gen.random_hermitian_positive_definite(
@@ -123,6 +131,9 @@ def main(argv=None):
     t_loc = _timeit_donating(
         jax.jit(lambda x: dt.potrf(x, uplo="U", nb=nb, clean=False),
                 donate_argnums=0), mk, ovh)
+    out["potrf_n"] = n
+    out["potrf_local_s"] = round(t_loc, 3)
+    checkpoint()
     # 1x1 grid, n % nb == 0: canonical layout is a[None, None] (no padded
     # global copy -- from_global would double HBM at n=32768)
     from dlaf_tpu.dist import Distribution
@@ -161,6 +172,10 @@ def main(argv=None):
             dist_ab[f"{mode}@{tch}"] = _timeit_donating(dist_fn, mk4, ovh)
         except Exception as exc:  # noqa: BLE001 - keep the other candidates
             dist_ab[f"{mode}@{tch}"] = repr(exc)[:120]
+        out["potrf_dist_trailing_ab_s"] = {
+            k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in dist_ab.items()}
+        checkpoint()
     timed = {k: v for k, v in dist_ab.items() if isinstance(v, float)}
     if not timed:
         # every candidate failed: write the errors as the artifact instead
@@ -175,7 +190,11 @@ def main(argv=None):
     best = min(timed, key=timed.get)
     best_mode, best_tch = best.split("@")
     best_tch = int(best_tch)
-    if on_tpu and best_mode == "pallas":
+    if over_budget() and best_mode == "pallas" and f"xla@{tch0}" in timed:
+        # no budget left for the correctness gate: report the safe default
+        best_mode, best_tch, best = "xla", tch0, f"xla@{tch0}"
+        dist_ab["gate"] = "skipped: wall budget (xla default reported)"
+    elif on_tpu and best_mode == "pallas":
         # correctness gate: the fused chunk must agree with the XLA chunk
         dt.set_tune_parameters(potrf_trailing_kernel="pallas",
                                potrf_dist_trail_chunks=best_tch)
@@ -201,6 +220,7 @@ def main(argv=None):
     out["potrf_dist_trailing_ab_s"] = {
         k: (round(v, 3) if isinstance(v, float) else v)
         for k, v in dist_ab.items()}
+    checkpoint()
     print(json.dumps({k: out[k] for k in out}))
 
     if not args.skip_eigh and not over_budget():

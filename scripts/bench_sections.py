@@ -464,12 +464,20 @@ def section_dist(res: Result):
     sys.path.insert(0, "/root/repo/scripts")
     import bench_dist
     budget = float(os.environ.get("DLAF_BENCH_BUDGET_S", "900"))
-    args = ["--budget", str(max(budget - 60, 120))]
+    # bench_dist checkpoints incrementally into THIS section's result file:
+    # a timeout still leaves every candidate measured so far (round-5
+    # lesson — the dist section burned its whole cap and left nothing).
+    args = ["--budget", str(max(budget - 90, 120)), "--out", res.path]
     if budget < 900:
         args.append("--skip-eigh")
     bench_dist.main(args)
-    with open("/root/repo/BENCH_DIST.json") as f:
-        res.update(**json.load(f))
+    with open(res.path) as f:
+        res.data = json.load(f)
+    res.update(section="dist")
+    with open("/root/repo/BENCH_DIST.json", "w") as f:
+        json.dump({k: v for k, v in res.data.items() if k != "section"},
+                  f, indent=1)
+        f.write("\n")
 
 
 def section_smoke(res: Result):
