@@ -31,6 +31,12 @@ def initialize(cache_dir: Optional[str] = None, print_config: bool = False,
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Finite max_size enables the filelock-guarded LRUCache mode: cache
+        # put() is otherwise a non-atomic write_bytes, and a concurrent
+        # process (multihost ranks, xdist workers) reading a half-written
+        # entry segfaults in deserialize_executable. 4 GiB is far above any
+        # working set, so this buys locking without real evictions.
+        jax.config.update("jax_compilation_cache_max_size", 4 * 1024**3)
     except Exception:
         pass
     if distributed:

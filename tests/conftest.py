@@ -60,6 +60,16 @@ from dlaf_tpu.cache import cpu_cache_dir  # noqa: E402
 _cache = "/root/repo/.jax_cache" if TPU_LANE else cpu_cache_dir()
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# A finite max_size switches LRUCache into its filelock-guarded mode
+# (jax/_src/lru_cache.py: eviction_enabled => inter-process lock around
+# get/put). Without it, put() is a bare non-atomic write_bytes and a
+# concurrent xdist worker can read a half-written entry —
+# deserialize_executable then SIGSEGVs (observed twice in the round-5 fast
+# gate at tests/test_eigh_large.py, gw crash + futex-hung restart; the same
+# test passes solo against the same cache, confirming a transient race,
+# not a poisoned entry). 4 GiB >> the ~20 MB working set: no evictions,
+# locking only.
+jax.config.update("jax_compilation_cache_max_size", 4 * 1024**3)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
