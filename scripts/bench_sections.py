@@ -94,6 +94,15 @@ class Result:
 # POTRF headline + self-tuner
 
 
+def _env_ladder(var: str, default: tuple) -> tuple:
+    """Rung-list override (testing: lets the CPU lane drive the degraded-
+    server ladder at toy sizes, with an oversized first rung forcing a real
+    allocation failure)."""
+    import os
+    raw = os.environ.get(var)
+    return tuple(int(x) for x in raw.split(",")) if raw else default
+
+
 def section_potrf(res: Result):
     import dlaf_tpu as dt
     from dlaf_tpu.matrix import generators as gen
@@ -102,19 +111,30 @@ def section_potrf(res: Result):
     dt.set_tune_parameters(matmul_precision=prec)
     ovh = _overhead()
 
-    # GEMM ceiling at the same precision = practical MXU peak
-    ng = 16384
-    b = jax.random.normal(jax.random.PRNGKey(1), (ng, ng), jnp.float32)
-    gemm_fn = jax.jit(
-        lambda x: jnp.matmul(x, x, precision=prec), donate_argnums=0)
-    mk_b = jax.jit(lambda x: x + 0.0)
-    t_gemm = _time_donated(gemm_fn, lambda: mk_b(b), ovh)
-    peak = 2 * ng**3 / t_gemm / 1e12
-    del b
-    res.update(gemm_ceiling_tflops=round(peak, 2))
+    # GEMM ceiling at the same precision = practical MXU peak; ladder down
+    # on a degraded server (HBM-leaked tunnel, see _hbm_contiguity_probe) —
+    # a reduced-scale ceiling+headline beats a null headline.
+    peak = None
+    for ng in _env_ladder("DLAF_BENCH_GEMM_NS", (16384, 8192)):
+        try:
+            b = jax.random.normal(jax.random.PRNGKey(1), (ng, ng),
+                                  jnp.float32)
+            gemm_fn = jax.jit(
+                lambda x: jnp.matmul(x, x, precision=prec), donate_argnums=0)
+            mk_b = jax.jit(lambda x: x + 0.0)
+            t_gemm = _time_donated(gemm_fn, lambda: mk_b(b), ovh)
+            peak = 2 * ng**3 / t_gemm / 1e12
+            del b
+            break
+        except Exception as exc:  # noqa: BLE001 - try the smaller rung
+            res.update(**{f"gemm_ceiling_n{ng}_error": repr(exc)[:120]})
+    if peak is None:
+        res.update(skipped_reason="hbm_degraded: gemm ceiling does not fit")
+        return
+    res.update(gemm_ceiling_tflops=round(peak, 2), gemm_ceiling_n=ng)
 
-    n = 32768
     eps32 = float(jnp.finfo(jnp.float32).eps)
+    n = _env_ladder("DLAF_BENCH_POTRF_NS", (32768, 16384, 8192))[0]
 
     def potrf_jit(mode, nbc):
         dt.set_tune_parameters(potrf_trailing_kernel=mode)
@@ -133,7 +153,7 @@ def section_potrf(res: Result):
     ab_times = {}
     confirm = {}
     try:
-        na = 16384
+        na = _env_ladder("DLAF_BENCH_TUNER_N", (16384,))[0]
         aa = gen.random_hermitian_positive_definite(jax.random.PRNGKey(4),
                                                     na, jnp.float32)
         mk = jax.jit(lambda x: x + 0.0)
@@ -147,6 +167,11 @@ def section_potrf(res: Result):
                 outs[f"{mode}@{nbc}"] = fn(mk(aa))
             except Exception as exc:  # noqa: BLE001 - keep other candidates
                 ab_times[f"{mode}@{nbc}"] = repr(exc)[:120]
+                if "RESOURCE_EXHAUSTED" in repr(exc):
+                    # degraded server: every further failed allocation
+                    # extends the wedge; fall back to the default kernel
+                    # and save the HBM attempts for the headline ladder
+                    break
         res.update(trailing_ab_seconds={
             k: (round(v, 4) if isinstance(v, float) else v)
             for k, v in ab_times.items()})
@@ -183,8 +208,26 @@ def section_potrf(res: Result):
     res.update(potrf_trailing_kernel=trailing, potrf_nb=nb)
 
     # --- headline run ------------------------------------------------------
-    a = gen.random_hermitian_positive_definite(jax.random.PRNGKey(0), n,
-                                               jnp.float32)
+    # contract n=32768 (4 GiB A), else the largest rung a degraded server
+    # holds (the in-client generate-A attempt doubles as the fit probe; a
+    # reduced-scale headline beats a null one — round-5 wedge lesson).
+    a = None
+    ladder = _env_ladder("DLAF_BENCH_POTRF_NS", (32768, 16384, 8192))
+    for cand in ladder:
+        try:
+            a = gen.random_hermitian_positive_definite(
+                jax.random.PRNGKey(0), cand, jnp.float32)
+            _sync(a)
+            n = cand
+            break
+        except Exception as exc:  # noqa: BLE001 - rung does not fit
+            res.update(**{f"probe_n{cand}": repr(exc)[:120]})
+            a = None
+    if a is None:
+        res.update(skipped_reason="hbm_degraded: no headline rung fits")
+        return
+    if n != ladder[0]:
+        res.update(n_reduced_from=ladder[0])
     mk_a = jax.jit(lambda x: x + 0.0)
     t = _time_donated(potrf_jit(trailing, nb), lambda: mk_a(a), ovh)
     tflops = (n**3 / 3) / t / 1e12
