@@ -17,16 +17,34 @@ FIRST_DELAY=${DLAF_BABYSIT_FIRST_DELAY_S:-600}
 echo "$(date -u +%H:%M:%S) initial quiet period ${FIRST_DELAY}s"
 sleep "$FIRST_DELAY"
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
-    echo "$(date -u +%H:%M:%S) launching heev_big"
-    DLAF_BENCH_BUDGET_S=1400 timeout 1500 python \
-        /root/repo/scripts/bench_sections.py heev_big "$OUT" \
-        > "$LOG" 2>&1
-    if grep -q '"seconds"' "$OUT" 2>/dev/null; then
-        echo "$(date -u +%H:%M:%S) heev_big done"
-        exit 0
+    if ! grep -q '"seconds"' "$OUT" 2>/dev/null; then
+        echo "$(date -u +%H:%M:%S) launching heev_big"
+        DLAF_BENCH_BUDGET_S=1400 timeout 1500 python \
+            /root/repo/scripts/bench_sections.py heev_big "$OUT" \
+            > "$LOG" 2>&1
+        if grep -q '"seconds"' "$OUT" 2>/dev/null; then
+            echo "$(date -u +%H:%M:%S) heev_big done"
+        else
+            echo "$(date -u +%H:%M:%S) no seconds in $OUT; sleeping 900"
+            sleep 900
+            continue
+        fi
     fi
-    echo "$(date -u +%H:%M:%S) no seconds in $OUT; sleeping 900"
-    sleep 900
+    # chained: complex64 contract-scale artifact (~9 GB peak, fits windows
+    # the 12.9 GB f32 plan does not)
+    if ! grep -q '"seconds"' /root/repo/HEEV_c64_16384.json 2>/dev/null; then
+        echo "$(date -u +%H:%M:%S) launching heev_c64"
+        timeout 1500 python /root/repo/scripts/bench_heev_c64.py \
+            > /tmp/heev_c64.log 2>&1
+        if grep -q '"seconds"' /root/repo/HEEV_c64_16384.json 2>/dev/null; then
+            echo "$(date -u +%H:%M:%S) heev_c64 done"
+            exit 0
+        fi
+        echo "$(date -u +%H:%M:%S) heev_c64 incomplete; sleeping 900"
+        sleep 900
+        continue
+    fi
+    exit 0
 done
 echo "babysitter deadline reached"
 exit 1
