@@ -397,14 +397,18 @@ def section_heev_big(res: Result):
 
     # contract scale, else the largest reduced scale the (possibly
     # HBM-degraded, see memory_stats probe) server can hold — a stage-timed
-    # artifact at 24576 beats a skip
+    # artifact at 24576 beats a skip. ASCENDING with early bail: every
+    # FAILED allocation extends the server's wedge (round-5 observation),
+    # so probe the smallest rung first and stop at the first failure —
+    # at most ONE failed allocation per attempt, vs 3-9 descending.
     nb2 = 0
-    for cand in (32768, 24576, 16384):
+    for cand in (16384, 24576, 32768):
         if _hbm_contiguity_probe(res, n=cand):
             nb2 = cand
-            res.data.pop("skipped_reason", None)   # a smaller n fits
+            res.data.pop("skipped_reason", None)
+        else:
+            res.update(**{f"probe_n{cand}": "does_not_fit"})
             break
-        res.update(**{f"probe_n{cand}": "does_not_fit"})
     if not nb2:
         return
     if nb2 != 32768:
