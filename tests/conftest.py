@@ -81,6 +81,18 @@ def pytest_xdist_auto_num_workers(config):
     return 0 if TPU_LANE else 2
 
 
+# Files whose tests compile the JUMBO eigensolver programs. They run FIRST:
+# the XLA:CPU client segfaults loading one of these multi-hundred-MB
+# executables into a process that has already accumulated ~300 tests' worth
+# of compiled programs (observed three times in round 5, always at
+# tests/test_eigh_large.py via compilation_cache get_executable_and_time,
+# passing solo against the same cache entries). Fresh workers take these
+# files first under --dist loadfile, so the jumbo loads happen at minimal
+# accumulation.
+_JUMBO_FIRST = ("test_eigh_large.py", "test_eigensolver.py",
+                "test_dist_eigensolver.py", "test_tridiag_dc_dist.py")
+
+
 def pytest_collection_modifyitems(config, items):
     on_tpu = jax.default_backend() in ("tpu", "axon")
     skip_tpu = pytest.mark.skip(reason="tpu-marked test; backend is not TPU")
@@ -91,6 +103,11 @@ def pytest_collection_modifyitems(config, items):
                 item.add_marker(skip_tpu)
         elif TPU_LANE:
             item.add_marker(skip_cpu)
+    def _prio(it):
+        name = it.path.name if getattr(it, "path", None) else \
+            it.fspath.basename
+        return 0 if name in _JUMBO_FIRST else 1
+    items.sort(key=_prio)
 
 
 @pytest.fixture(params=["float32", "float64", "complex64", "complex128"])
