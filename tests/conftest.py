@@ -92,22 +92,42 @@ def pytest_xdist_auto_num_workers(config):
 _JUMBO_FIRST = ("test_eigh_large.py", "test_eigensolver.py",
                 "test_dist_eigensolver.py", "test_tridiag_dc_dist.py")
 
+# Fast-gate dtype policy (VERDICT r4 #5: default gate <= 5 min on this
+# 1-core box): the fast lane runs the TPU-native dtypes (float32 /
+# complex64); the float64 / complex128 rows of these files' sweeps run in
+# the slow lane (`-m "slow or not slow"` restores the full {s,d,c,z}
+# matrix, the reference's CI dtype coverage, DLAF_AddTest.cmake:60-118).
+# Files NOT listed keep all dtypes fast (e.g. x64-emulation regression
+# tests whose f64 rows are their entire point).
+_FAST_GATE_TPU_DTYPES = ("test_blas_local.py", "test_dist_cholesky.py",
+                         "test_dist_matrix.py",
+                         "test_dist_multiplication.py", "test_dist_trsm.py",
+                         "test_dist_trsm_right.py", "test_eigensolver.py",
+                         "test_aux.py", "test_tridiag_dc_dist.py",
+                         "test_band_strips.py", "test_eigh_large.py",
+                         "test_dist_eigensolver.py")
+
 
 def pytest_collection_modifyitems(config, items):
     on_tpu = jax.default_backend() in ("tpu", "axon")
     skip_tpu = pytest.mark.skip(reason="tpu-marked test; backend is not TPU")
     skip_cpu = pytest.mark.skip(reason="CPU-lane test; running the TPU lane")
+    slow = pytest.mark.slow
+
+    def _fname(it):
+        return it.path.name if getattr(it, "path", None) else \
+            it.fspath.basename
+
     for item in items:
         if "tpu" in item.keywords:
             if not (TPU_LANE and on_tpu):
                 item.add_marker(skip_tpu)
         elif TPU_LANE:
             item.add_marker(skip_cpu)
-    def _prio(it):
-        name = it.path.name if getattr(it, "path", None) else \
-            it.fspath.basename
-        return 0 if name in _JUMBO_FIRST else 1
-    items.sort(key=_prio)
+        if (_fname(item) in _FAST_GATE_TPU_DTYPES
+                and ("float64" in item.name or "complex128" in item.name)):
+            item.add_marker(slow)
+    items.sort(key=lambda it: 0 if _fname(it) in _JUMBO_FIRST else 1)
 
 
 @pytest.fixture(params=["float32", "float64", "complex64", "complex128"])

@@ -50,7 +50,9 @@ def test_strips_kernel_matches_dense(dtype, n, b):
 
 @pytest.mark.parametrize("n,b,dtype", [
     (50, 8, np.dtype("float32")),
-    (50, 8, np.dtype("complex64")),
+    # complex + bigger shapes in the slow lane: interpret-mode replays cost
+    # 9-15s each; one f32 config is the fast-gate representative
+    pytest.param(50, 8, np.dtype("complex64"), marks=pytest.mark.slow),
     pytest.param(64, 8, np.dtype("float32"), marks=pytest.mark.slow),
     pytest.param(70, 16, np.dtype("complex64"), marks=pytest.mark.slow),
     # b > 128 -> bpt = 2: the multi-row reflector record drain (the
@@ -75,6 +77,7 @@ def test_pallas_kernel_matches_dense_interpret(n, b, dtype):
     assert float(np.max(np.abs(np.asarray(vs0 - vs1)) * act[:, :, None])) <= bound
 
 
+@pytest.mark.slow
 def test_bt_raw_record_matches_cooked_interpret():
     """raw_record (the n=32768 single-chunk HBM plan: no cooked O(n^2)
     record copy) applied through bt_band_to_tridiag(raw_bp=...) must match
@@ -135,7 +138,10 @@ def test_bt_shifted_streaming_apply_matches_cooked_interpret(nev):
 
 
 @pytest.mark.parametrize("kf,n", [
-    (2, 512),
+    # 145s interpret replay — slow lane (the shifted-apply test is the
+    # fast-gate Pallas stage-4 representative; the fused path is also
+    # validated ON CHIP by scripts/microbench_fused.py kf=4/8 bit-equality)
+    pytest.param(2, 512, marks=pytest.mark.slow),
     pytest.param(4, 768, marks=pytest.mark.slow),  # rpeel=2 singles + 1 fused
     pytest.param(2, 640, marks=pytest.mark.slow),  # rpeel=1 odd split
 ])
@@ -173,6 +179,7 @@ def test_bt_fused_streaming_apply_matches_cooked_interpret(kf, n):
     assert err <= 1e-5, err
 
 
+@pytest.mark.slow
 def test_bt_fused_overshooting_chunk_plan_interpret():
     """Fused steps containing geometric phantom groups (chunked records
     whose rounded sweep range overshoots the band end) must skip exactly
@@ -215,6 +222,7 @@ def test_bt_fused_overshooting_chunk_plan_interpret():
     assert err <= 1e-5, err
 
 
+@pytest.mark.slow
 def test_bt_shifted_overshooting_chunk_plan_interpret():
     """Chunked records whose rounded sweep range overshoots nsweeps by
     >= 2b+2 put trailing groups at abs0 >= nmat + b; unclamped, the

@@ -16,7 +16,13 @@ from dlaf_tpu.matrix.dist_matrix import DistMatrix
 
 from conftest import tol
 
-GRIDS = [(1, 1), (2, 2), (2, 4), (4, 1), (1, 8), (2, 3)]
+# degenerate Nx1/1xN grids move to the slow lane: they exercise the same
+# code paths as (1,1)+(2,3)+(2,4) plus the axis-degeneracy handled by
+# collectives; the full sweep still runs with -m "slow or not slow"
+GRIDS = [(1, 1), (2, 2), (2, 4),
+         pytest.param((4, 1), marks=pytest.mark.slow),
+         pytest.param((1, 8), marks=pytest.mark.slow),
+         (2, 3)]
 
 
 @pytest.mark.parametrize("grid_size", GRIDS)
@@ -65,7 +71,10 @@ def test_dist_cholesky_wide_panel_tails(grid_size, n, nb):
         np.max(np.abs(np.asarray(a)))
 
 
-@pytest.mark.parametrize("grid_size", [(1, 1), (2, 2), (2, 3), (4, 1), (1, 8)])
+@pytest.mark.parametrize("grid_size", [
+    (1, 1), (2, 2), (2, 3),
+    pytest.param((4, 1), marks=pytest.mark.slow),
+    pytest.param((1, 8), marks=pytest.mark.slow)])
 @pytest.mark.parametrize("n,nb", [(64, 16), (100, 16), (16, 16)])
 def test_dist_cholesky_upper_native(grid_size, n, nb, real_dtype_p):
     """Native distributed upper-uplo POTRF (reference call_U,

@@ -31,8 +31,14 @@ def _check(an, w, v, n, dtype, factor=60):
     assert np.max(np.abs(wn - wref)) <= factor * n * np.finfo(dtype).eps * scale
 
 
-@pytest.mark.parametrize("n,b,chunks", [(128, 32, 1), (256, 32, 2),
-                                        (256, 64, 3)])
+@pytest.mark.parametrize("n,b,chunks", [
+    (128, 32, 1),
+    # n=256 sweeps in the slow lane (the fast gate keeps one size per
+    # dtype; each of these costs 3-11s warm and compiles a second jumbo
+    # dt.eigh program)
+    pytest.param(256, 32, 2, marks=pytest.mark.slow),
+    pytest.param(256, 64, 3, marks=pytest.mark.slow),
+])
 def test_eigh_large_matches_driver(n, b, chunks, real_dtype_p):
     dtype = real_dtype_p
     a = gen.random_hermitian(jax.random.PRNGKey(n + chunks), n,
@@ -48,7 +54,8 @@ def test_eigh_large_matches_driver(n, b, chunks, real_dtype_p):
 
 @pytest.mark.parametrize("dtype,n,b,chunks", [
     (np.complex64, 128, 32, 1),
-    (np.complex64, 256, 64, 2),
+    pytest.param(np.complex64, 256, 64, 2,
+                 marks=pytest.mark.slow),
     pytest.param(np.complex128, 128, 32, 1, marks=pytest.mark.slow),
 ])
 def test_eigh_large_complex(dtype, n, b, chunks):
@@ -67,6 +74,7 @@ def test_eigh_large_complex(dtype, n, b, chunks):
                                atol=tol(rdt, n) * max(np.abs(an).max(), 1))
 
 
+@pytest.mark.slow
 def test_eigh_large_small_group_chunks():
     # chunk boundaries at multiples of a small WY group size exercise > 2
     # chunks without contract-scale shapes
